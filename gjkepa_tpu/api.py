@@ -1,0 +1,159 @@
+"""L4 public query API.
+
+The reference exposes exactly one public symbol — ``SUBROUTINE GJKEPA``
+(``/root/reference/src/GCLIB_GJKEPA.f90:39-239``): version selector +
+face-contact tolerance + two convex vertex clouds in; hit flag, contact
+type, nearest points, contact normal, contact point, penetration depth out.
+
+Here the same contract is a pure function over padded vertex buffers,
+returning a :class:`CollisionResult` pytree (plus status / iteration /
+miss-distance extensions).  ``gjkepa`` handles one pair; ``gjkepa_batch``
+is its vmapped, jitted batch form — the TPU-native equivalent of the
+reference's "one pair per OpenMP thread" batch mode (SURVEY.md §2.4).
+
+Analytic shapes enter through :func:`collide_supports`, which runs the same
+GJK/EPA cores over arbitrary support callables (closed-form sphere / box /
+capsule / cylinder maps — BASELINE config 3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .config import DEFAULT_CONFIG, GJKEPAConfig
+from .ops import broadphase, contact
+from .ops.epa import run_epa
+from .ops.gjk import run_gjk
+from .ops.support import make_hull_support
+from .types import CollisionResult, Status
+
+__all__ = ["gjkepa", "gjkepa_batch", "collide_supports"]
+
+
+def _zero_result_like(dtype) -> dict:
+    z3 = jnp.zeros(3, dtype)
+    return dict(nearest_points=jnp.zeros((2, 3), dtype), normal=z3,
+                contact_point=z3, depth=jnp.zeros((), dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_broadphase"))
+def gjkepa(
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    mask1: jnp.ndarray | None = None,
+    mask2: jnp.ndarray | None = None,
+    cfg: GJKEPAConfig = DEFAULT_CONFIG,
+    use_broadphase: bool = True,
+) -> CollisionResult:
+    """Full narrow-phase query for one pair of convex vertex clouds.
+
+    Args:
+      p1, p2: (N1, 3) / (N2, 3) padded vertex buffers (any float dtype).
+      mask1, mask2: optional (N,) validity masks for padded rows.
+      cfg: static numerical contract; ``cfg.version`` picks the
+        contact-point algorithm (1/2/3, ref :329-340) and ``cfg.face_contact_tol``
+        is the reference's TOL_FF input.
+      use_broadphase: apply the bounding-sphere reject (ref :76-77).
+
+    Mirrors the reference's output zeroing on miss (:65-71).
+    """
+    dtype = p1.dtype
+    support = make_hull_support(p1, p2, mask1, mask2)
+
+    if use_broadphase:
+        active = broadphase.sphere_envelope_overlap(p1, p2, mask1, mask2,
+                                                    cfg.broadphase_tol)
+    else:
+        active = jnp.asarray(True)
+
+    g = run_gjk(support, cfg, dtype=dtype, active=active)
+    e = run_epa(support, g.simplex, g.hit, cfg)
+
+    # Contact derivation (only meaningful on hit; selected below).
+    npts = contact.nearest_points(p1, p2, e.normal, mask1, mask2)
+    if cfg.version == 1:
+        cpoint = contact.collision_point_v1(p1, p2, e.normal, cfg, mask1, mask2)
+        normal = e.normal
+    elif cfg.version == 2:
+        cpoint = contact.collision_point_v2(p1, p2, e.normal, cfg, mask1, mask2)
+        normal = e.normal
+    elif cfg.version == 3:
+        cpoint, normal = contact.collision_point_v3(p1, p2, e.normal, cfg, mask1, mask2)
+    else:
+        raise ValueError(f"unknown contact-point version {cfg.version!r} "
+                         "(reference supports 1, 2, 3; ref :329-340)")
+    ctype = contact.collision_type(p1, p2, normal, cfg.face_contact_tol, mask1, mask2)
+
+    hit = g.hit
+    zeros = _zero_result_like(dtype)
+    return CollisionResult(
+        hit=hit,
+        colli_type=jnp.where(hit, ctype, jnp.int32(0)),
+        nearest_points=jnp.where(hit, npts, zeros["nearest_points"]),
+        normal=jnp.where(hit, normal, zeros["normal"]),
+        contact_point=jnp.where(hit, cpoint, zeros["contact_point"]),
+        depth=jnp.where(hit, e.depth, zeros["depth"]),
+        distance=g.sep_lb,
+        status=jnp.where(hit, e.status, g.status),
+        gjk_iters=g.iters,
+        epa_iters=e.iters,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_broadphase"))
+def gjkepa_batch(
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    mask1: jnp.ndarray | None = None,
+    mask2: jnp.ndarray | None = None,
+    cfg: GJKEPAConfig = DEFAULT_CONFIG,
+    use_broadphase: bool = True,
+) -> CollisionResult:
+    """Batched narrow-phase: (B, N, 3) vertex buffers -> batched results.
+
+    One fused XLA program; batched while-loop lanes retire as individual
+    queries converge.  This is the drop-in equivalent of the reference's
+    OMP-parallel batch calling pattern.
+    """
+    fn = functools.partial(gjkepa, cfg=cfg, use_broadphase=use_broadphase)
+    in_axes = (0, 0, None if mask1 is None else 0, None if mask2 is None else 0)
+    return jax.vmap(fn, in_axes=in_axes)(p1, p2, mask1, mask2)
+
+
+def collide_supports(
+    support: Callable,
+    cfg: GJKEPAConfig = DEFAULT_CONFIG,
+    dtype=jnp.float32,
+    active: jnp.ndarray | bool = True,
+) -> CollisionResult:
+    """Narrow-phase over an arbitrary Minkowski support callable.
+
+    This is the analytic-shape entry (closed-form sphere/box/capsule/cylinder
+    support maps — a capability extension over the reference, which only
+    handles vertex clouds).  Contact point falls back to the midpoint of the
+    EPA witness points (no vertex sets exist to run the version-1/2/3 case
+    trees on); contact type is 1 on hit.
+    """
+    g = run_gjk(support, cfg, dtype=dtype, active=active)
+    e = run_epa(support, g.simplex, g.hit, cfg)
+    s = support(e.normal)
+    npts = jnp.stack([s.a, s.b])
+    cpoint = 0.5 * (s.a + s.b)
+    hit = g.hit
+    zeros = _zero_result_like(dtype)
+    return CollisionResult(
+        hit=hit,
+        colli_type=jnp.where(hit, jnp.int32(1), jnp.int32(0)),
+        nearest_points=jnp.where(hit, npts, zeros["nearest_points"]),
+        normal=jnp.where(hit, e.normal, zeros["normal"]),
+        contact_point=jnp.where(hit, cpoint, zeros["contact_point"]),
+        depth=jnp.where(hit, e.depth, zeros["depth"]),
+        distance=g.sep_lb,
+        status=jnp.where(hit, e.status, g.status),
+        gjk_iters=g.iters,
+        epa_iters=e.iters,
+    )

@@ -1,0 +1,182 @@
+"""L3b: EPA penetration-depth core (incremental capped-face polytope).
+
+The reference's EPA (``/root/reference/src/GCLIB_GJKEPA.f90:242-346`` driver,
+``:863-1022`` expansion step) rebuilds a convex hull from scratch every
+iteration: polytope -> unique-vertex scatter (getHullMeshesVertex, :920) ->
+append support -> QuickHull (:950) -> O(F^2) bubble-sorted distance compare
+for convergence (:975-1003).  That is its biggest inefficiency and is
+hostile to fixed-shape compilation, so the mechanism is re-derived
+(SURVEY.md §7.4) while preserving the observable contract — penetration
+depth = distance of the closest polytope face to the origin, normal = that
+face's outward normal (:994-1009):
+
+  * the polytope lives in preallocated arrays: ``verts (V,3)`` with a count,
+    ``faces (F,3)`` vertex-index triples with an alive mask;
+  * each iteration picks the alive face closest to the origin, probes the
+    support map along its outward normal, and either converges (the support
+    adds < eps beyond the face — observably equivalent to the reference's
+    "sorted face distances stopped changing within 1e-8" test) or stitches
+    the new vertex in over the horizon;
+  * the horizon is found without pointer chasing: an undirected-edge
+    occurrence table (scatter-add over a V*V key space) marks edges with
+    exactly one visible adjacent face — O(F) per iteration, winding-free
+    because normals are re-oriented against the polytope centroid each
+    iteration (mirroring the reference's centroid orientation fix for
+    on-face origins, :902-910);
+  * the reference's touching-contact double support injection (:934-944)
+    is unnecessary here: the seed tetra always has volume (the GJK init
+    path guarantees it), so the polytope never degenerates to a plane.
+
+Iteration cap (99, ref :299) maps to ``Status.HIT_EPA_CAP`` instead of the
+reference's interactive PAUSE + zeroed outputs; depth/normal then carry the
+current best estimate.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import GJKEPAConfig
+from ..types import Status
+
+__all__ = ["EPAResult", "run_epa"]
+
+# Seed polytope: the 4 triangular faces of the GJK simplex, exactly the
+# reference's seeding (ref :279-293): (1,2,3),(1,3,4),(1,2,4),(2,3,4).
+_SEED_FACES = jnp.array([[0, 1, 2], [0, 2, 3], [0, 1, 3], [1, 2, 3]], dtype=jnp.int32)
+
+
+class EPAResult(NamedTuple):
+    depth: jnp.ndarray    # () penetration depth
+    normal: jnp.ndarray   # (3,) contact normal (points from B toward A side)
+    iters: jnp.ndarray    # int32 expansion iterations used
+    status: jnp.ndarray   # int32 Status (HIT / HIT_EPA_CAP / HIT_EPA_DEGENERATE)
+
+
+def _face_geometry(verts, faces, alive, n_verts, eps_zero):
+    """Outward unit normals and origin distances of alive faces.
+
+    Orientation is fixed against the polytope centroid (ref :902-910) so
+    on-boundary origins are handled; degenerate (zero-area) faces are
+    masked out.
+    """
+    vmask = (jnp.arange(verts.shape[0]) < n_verts)[:, None]
+    nf = jnp.maximum(n_verts, 1).astype(verts.dtype)
+    centroid = jnp.sum(jnp.where(vmask, verts, 0.0), axis=0) / nf
+
+    a = verts[faces[:, 0]]
+    b = verts[faces[:, 1]]
+    c = verts[faces[:, 2]]
+    n = jnp.cross(b - a, c - a)
+    nrm = jnp.linalg.norm(n, axis=1)
+    ok = alive & (nrm > eps_zero)
+    n = n / jnp.where(nrm > eps_zero, nrm, 1.0)[:, None]
+    outward = jnp.einsum("fi,fi->f", n, a - centroid[None, :]) >= 0.0
+    n = jnp.where(outward[:, None], n, -n)
+    dist = jnp.einsum("fi,fi->f", n, a)  # plane distance from origin
+    return n, jnp.where(ok, dist, jnp.inf), ok
+
+
+def run_epa(
+    support: Callable,
+    simplex: jnp.ndarray,
+    active: jnp.ndarray,
+    cfg: GJKEPAConfig,
+) -> EPAResult:
+    """Expand the polytope from `simplex` until the closest face is on the
+    Minkowski-difference boundary.  `active=False` lanes exit immediately
+    (their whole while-loop body retires in the first batched iteration).
+    """
+    dtype = simplex.dtype
+    V = cfg.epa_max_verts
+    F = cfg.epa_max_faces
+    eps = cfg.eps_coincide
+    key_space = V * V
+
+    verts0 = jnp.zeros((V, 3), dtype=dtype).at[:4].set(simplex)
+    faces0 = jnp.zeros((F, 3), dtype=jnp.int32).at[:4].set(_SEED_FACES)
+    alive0 = jnp.zeros((F,), dtype=bool).at[:4].set(True)
+
+    def cond(c):
+        return ~c["done"] & (c["iter"] < cfg.epa_max_iters)
+
+    def body(c):
+        verts, faces, alive, n_verts = c["verts"], c["faces"], c["alive"], c["n_verts"]
+        normals, dists, ok = _face_geometry(verts, faces, alive, n_verts, cfg.eps_zero)
+        all_degenerate = ~jnp.any(ok)
+        f_star = jnp.argmin(dists)
+        d_min = jnp.where(all_degenerate, jnp.asarray(0.0, dtype), dists[f_star])
+        direction = jnp.where(all_degenerate, jnp.zeros(3, dtype), normals[f_star])
+
+        w = support(direction).w
+        gain = jnp.dot(w, direction) - d_min
+        vmask = jnp.arange(V) < n_verts
+        dup = jnp.any(vmask & jnp.all(jnp.abs(verts - w) < eps, axis=1))
+        converged = (gain < eps) | dup
+
+        # --- horizon extraction ------------------------------------------
+        visible = ok & (jnp.einsum("fi,i->f", normals, w) > dists + cfg.eps_zero)
+        visible = visible | (jnp.arange(F) == f_star)  # f* always visible
+        visible = visible & alive
+
+        u = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+        v = jnp.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+        evis = jnp.concatenate([visible, visible, visible])
+        ukey = jnp.minimum(u, v) * V + jnp.maximum(u, v)
+        count = jnp.zeros((key_space,), jnp.int32).at[
+            jnp.where(evis, ukey, key_space - 1)
+        ].add(jnp.where(evis, 1, 0))
+        horizon = evis & (count[ukey] == 1)
+
+        n_new = jnp.sum(horizon)
+        free = ~alive | visible
+        n_free = jnp.sum(free)
+        cant_expand = (~converged) & (
+            (n_new > n_free) | (n_verts >= V) | (n_new == 0) | all_degenerate
+        )
+        do_insert = ~(converged | cant_expand)
+
+        # --- masked insertion: i-th horizon edge -> i-th free slot --------
+        # (argsort(~mask) is a stable compaction of True entries to the front)
+        free_slots = jnp.argsort(~free)                      # (F,) slot ids, free first
+        e_rank = jnp.cumsum(horizon) - 1                     # (3F,) rank per horizon edge
+        slot = free_slots[jnp.clip(e_rank, 0, F - 1)]
+        write = horizon & do_insert & (e_rank < n_free)
+        tgt = jnp.where(write, slot, F)                      # F = dropped
+        new_face = jnp.stack([u, v, jnp.full_like(u, n_verts)], axis=1)
+        alive_new = jnp.where(do_insert, alive & ~visible, alive)
+        alive_new = alive_new.at[tgt].set(True, mode="drop")
+        faces_new = faces.at[tgt].set(new_face, mode="drop")
+        verts_new = jnp.where(do_insert,
+                              verts.at[jnp.clip(n_verts, 0, V - 1)].set(w), verts)
+        n_verts_new = jnp.where(do_insert, n_verts + 1, n_verts)
+
+        done = converged | cant_expand
+        status = jnp.where(
+            converged, jnp.int32(Status.HIT),
+            jnp.where(cant_expand, jnp.int32(Status.HIT_EPA_DEGENERATE), c["status"]),
+        )
+        return {
+            "verts": verts_new, "faces": faces_new, "alive": alive_new,
+            "n_verts": n_verts_new, "iter": c["iter"] + 1, "done": done,
+            "depth": d_min,       # current closest-face distance (final on exit)
+            "normal": direction,
+            "status": status,
+        }
+
+    init = {
+        "verts": verts0, "faces": faces0, "alive": alive0,
+        "n_verts": jnp.int32(4), "iter": jnp.int32(0), "done": ~active,
+        "depth": jnp.asarray(0.0, dtype), "normal": jnp.zeros(3, dtype),
+        "status": jnp.int32(Status.HIT_EPA_CAP),
+    }
+    out = lax.while_loop(cond, body, init)
+
+    depth = jnp.where(active, out["depth"], 0.0)
+    normal = jnp.where(active, out["normal"], 0.0)
+    status = jnp.where(active, out["status"], jnp.int32(0))
+    return EPAResult(depth=depth, normal=normal, iters=out["iter"], status=status)

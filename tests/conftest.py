@@ -1,0 +1,48 @@
+"""Test harness configuration.
+
+Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
+logic is exercised without a TPU pod (SURVEY.md §4.5), and with x64 enabled
+so the reference's float64 epsilon ladder is meaningful.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the masked while-loops are compile-heavy on the
+# CPU backend; cache across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gjkepa_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_hull(rng, n=16, center=(0, 0, 0), scale=1.0):
+    """Random convex position cloud: points on a sphere scaled/offset.
+
+    Every vertex is extreme (on the sphere), so the cloud is its own hull.
+    """
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v *= scale * (0.5 + 0.5 * rng.random((n, 1)))
+    return v + np.asarray(center, dtype=np.float64)
+
+
+def cube(center=(0, 0, 0), half=0.5):
+    c = np.asarray(center, dtype=np.float64)
+    corners = np.array(
+        [[x, y, z] for x in (-half, half) for y in (-half, half) for z in (-half, half)]
+    )
+    return c + corners
