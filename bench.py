@@ -1,0 +1,151 @@
+"""Benchmark harness: the five BASELINE.json configs on real hardware.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "configs": {...}}
+
+Headline metric = GJK+EPA pair queries/sec on the 64k mixed analytic-shape
+batch (config 3), matching BASELINE.json's "pair queries/sec at 64k batch".
+vs_baseline is measured against the 50M q/s north-star target (the
+reference publishes no numbers of its own — BASELINE.md).
+
+Run directly on the TPU (no platform override).  Detail lines go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, warmup=2, iters=5):
+    """Median wall time of fn(*args) with block_until_ready."""
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def random_hulls(rng, b, n, spread=0.8, dtype=np.float32):
+    v = rng.normal(size=(b, n, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    v *= 0.5 + 0.5 * rng.random((b, n, 1))
+    return (v + rng.normal(size=(b, 1, 3)) * spread).astype(dtype)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the masked while-loop programs are
+    # compile-heavy; cache across bench runs/rounds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gjkepa_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    from gjkepa_tpu import GJKEPAConfig, collide_shapes_batch, gjkepa, gjkepa_batch
+    from gjkepa_tpu.api import gjk_distance_batch
+    from gjkepa_tpu.models import boxes, capsules, concat_shapes, cylinders, spheres
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    cfg = GJKEPAConfig.for_f32()
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # ---- config 1: single pair cube-vs-cube (latency) ---------------------
+    half = 0.5
+    corners = np.array([[x, y, z] for x in (-half, half) for y in (-half, half)
+                        for z in (-half, half)], np.float32)
+    c1 = jnp.asarray(corners)
+    c2 = jnp.asarray(corners + np.array([0.5, 0, 0], np.float32))
+    t = timeit(lambda: gjkepa(c1, c2, cfg=cfg), iters=20)
+    r = gjkepa(c1, c2, cfg=cfg)
+    assert bool(r.hit) and abs(float(r.depth) - 0.5) < 1e-4, (
+        float(r.depth), int(r.status))
+    results["c1_single_pair_latency_us"] = t * 1e6
+    log(f"config1 single-pair latency: {t*1e6:.1f} us (depth={float(r.depth):.6f})")
+
+    # ---- config 2: 4k x 64-vertex hull pairs, boolean + distance ----------
+    B2, N2 = 4096, 64
+    p1 = jnp.asarray(random_hulls(rng, B2, N2))
+    p2 = jnp.asarray(random_hulls(rng, B2, N2))
+    t_bool = timeit(lambda: gjkepa_batch(p1, p2, cfg=cfg).hit)
+    t_dist = timeit(lambda: gjk_distance_batch(p1, p2, cfg=cfg).distance)
+    results["c2_hull4k_bool_qps"] = B2 / t_bool
+    results["c2_hull4k_dist_qps"] = B2 / t_dist
+    log(f"config2 4k x 64-vert hulls: bool {B2/t_bool/1e6:.2f}M q/s, "
+        f"distance {B2/t_dist/1e6:.2f}M q/s")
+
+    # ---- config 3: 64k mixed analytic pairs (HEADLINE) ---------------------
+    B3 = 65536
+    q = B3 // 4
+    pos = lambda: rng.normal(size=(q, 3)).astype(np.float32) * 1.2  # noqa: E731
+    mk = lambda: concat_shapes(  # noqa: E731
+        spheres(0.4 + 0.4 * rng.random(q).astype(np.float32), pos=pos()),
+        boxes(0.3 + 0.4 * rng.random((q, 3)).astype(np.float32), pos=pos()),
+        capsules(0.2 + 0.2 * rng.random(q).astype(np.float32),
+                 0.3 + 0.3 * rng.random(q).astype(np.float32), pos=pos()),
+        cylinders(0.2 + 0.3 * rng.random(q).astype(np.float32),
+                  0.3 + 0.3 * rng.random(q).astype(np.float32), pos=pos()),
+    )
+    a, b = mk(), mk()
+    t3 = timeit(lambda: collide_shapes_batch(a, b, cfg=cfg, chunk_size=8192).depth)
+    r3 = collide_shapes_batch(a, b, cfg=cfg, chunk_size=8192)
+    hits = int(jnp.sum(r3.hit))
+    results["c3_analytic64k_qps"] = B3 / t3
+    log(f"config3 64k mixed analytic: {B3/t3/1e6:.2f}M q/s ({hits} hits)")
+
+    # ---- config 4: 16k deep-penetration pairs, full EPA --------------------
+    B4, N4 = 16384, 24
+    big = random_hulls(rng, B4, N4, spread=0.0)
+    big *= 2.0
+    small = random_hulls(rng, B4, N4, spread=0.0) * 0.5
+    small += rng.normal(size=(B4, 1, 3)).astype(np.float32) * 0.2
+    p41, p42 = jnp.asarray(big), jnp.asarray(small)
+    t4 = timeit(lambda: gjkepa_batch(p41, p42, cfg=cfg, chunk_size=8192).depth, iters=3)
+    r4 = gjkepa_batch(p41, p42, cfg=cfg, chunk_size=8192)
+    hit_frac = float(jnp.mean(r4.hit.astype(jnp.float32)))
+    results["c4_deep16k_qps"] = B4 / t4
+    results["c4_hit_fraction"] = hit_frac
+    log(f"config4 16k deep-penetration: {B4/t4/1e6:.2f}M q/s "
+        f"(hit fraction {hit_frac:.2f}, mean EPA iters "
+        f"{float(jnp.mean(r4.epa_iters.astype(jnp.float32))):.1f})")
+
+    # ---- config 5: mini-sim 1024 falling boxes -----------------------------
+    from gjkepa_tpu.sim.rigid import SimConfig, init_boxes, sim_step
+    state = init_boxes(1024, height=6.0, spread=14.0)
+    scfg = SimConfig(max_pairs=8192)
+
+    def step100(s):
+        for _ in range(10):
+            s, _ = sim_step(s, scfg)
+        return s
+
+    t5 = timeit(lambda: step100(state).pos, warmup=1, iters=3) / 10
+    results["c5_sim1024_steps_per_sec"] = 1.0 / t5
+    log(f"config5 1024-box sim: {1.0/t5:.1f} steps/s")
+
+    headline = results["c3_analytic64k_qps"]
+    out = {
+        "metric": "gjkepa_pair_queries_per_sec_64k_batch",
+        "value": headline,
+        "unit": "queries/s",
+        "vs_baseline": headline / 50e6,
+        "configs": {k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in results.items()},
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ Public surface:
   * :mod:`gjkepa_tpu.utils` — convex-hull preprocessing, fixtures.
 """
 
-from .api import collide_supports, gjkepa, gjkepa_batch
+from .api import collide_shapes_batch, collide_supports, gjkepa, gjkepa_batch
 from .config import DEFAULT_CONFIG, GJKEPAConfig
 from .types import CollisionResult, Status
 
@@ -29,6 +29,7 @@ __all__ = [
     "gjkepa",
     "gjkepa_batch",
     "collide_supports",
+    "collide_shapes_batch",
     "GJKEPAConfig",
     "DEFAULT_CONFIG",
     "CollisionResult",

@@ -26,12 +26,14 @@ import jax.numpy as jnp
 
 from .config import DEFAULT_CONFIG, GJKEPAConfig
 from .ops import broadphase, contact
+from .ops.distance import gjk_distance
 from .ops.epa import run_epa
 from .ops.gjk import run_gjk
 from .ops.support import make_hull_support
 from .types import CollisionResult, Status
 
-__all__ = ["gjkepa", "gjkepa_batch", "collide_supports"]
+__all__ = ["gjkepa", "gjkepa_batch", "collide_supports", "collide_shapes_batch",
+           "gjk_distance_batch"]
 
 
 def _zero_result_like(dtype) -> dict:
@@ -104,7 +106,7 @@ def gjkepa(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_broadphase"))
+@functools.partial(jax.jit, static_argnames=("cfg", "use_broadphase", "chunk_size"))
 def gjkepa_batch(
     p1: jnp.ndarray,
     p2: jnp.ndarray,
@@ -112,16 +114,25 @@ def gjkepa_batch(
     mask2: jnp.ndarray | None = None,
     cfg: GJKEPAConfig = DEFAULT_CONFIG,
     use_broadphase: bool = True,
+    chunk_size: int | None = None,
 ) -> CollisionResult:
     """Batched narrow-phase: (B, N, 3) vertex buffers -> batched results.
 
     One fused XLA program; batched while-loop lanes retire as individual
     queries converge.  This is the drop-in equivalent of the reference's
     OMP-parallel batch calling pattern.
+
+    `chunk_size` bounds the vmapped width: the batch is processed as a scan
+    of chunk-wide programs.  Use it for very large batches — it caps the
+    working set of the EPA polytope buffers (memory ~ chunk * F_cap) and
+    keeps single-program compile times down, at the cost of one scan.
     """
     fn = functools.partial(gjkepa, cfg=cfg, use_broadphase=use_broadphase)
-    in_axes = (0, 0, None if mask1 is None else 0, None if mask2 is None else 0)
-    return jax.vmap(fn, in_axes=in_axes)(p1, p2, mask1, mask2)
+    if chunk_size is None:
+        in_axes = (0, 0, None if mask1 is None else 0, None if mask2 is None else 0)
+        return jax.vmap(fn, in_axes=in_axes)(p1, p2, mask1, mask2)
+    return jax.lax.map(lambda args: fn(*args), (p1, p2, mask1, mask2),
+                       batch_size=chunk_size)
 
 
 def collide_supports(
@@ -157,3 +168,53 @@ def collide_supports(
         gjk_iters=g.iters,
         epa_iters=e.iters,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk_size"))
+def collide_shapes_batch(a, b, cfg: GJKEPAConfig = DEFAULT_CONFIG,
+                         chunk_size: int | None = None) -> CollisionResult:
+    """Batched narrow-phase over analytic shape pairs (BASELINE config 3).
+
+    Args:
+      a, b: :class:`gjkepa_tpu.models.ShapeBatch` of equal length B;
+        pair i is (a[i], b[i]).
+      chunk_size: optional vmap-width bound (see gjkepa_batch).
+    """
+    from .models.shapes import make_shape_pair_support  # deferred: models imports ops
+
+    dtype = a.params.dtype
+
+    def one(ka, pa, xa, ra, kb, pb, xb, rb):
+        sup = make_shape_pair_support(ka, pa, xa, ra, kb, pb, xb, rb)
+        return collide_supports(sup, cfg=cfg, dtype=dtype)
+
+    args = (a.kind, a.params, a.pos, a.rot, b.kind, b.params, b.pos, b.rot)
+    if chunk_size is None:
+        return jax.vmap(one)(*args)
+    return jax.lax.map(lambda xs: one(*xs), args, batch_size=chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk_size"))
+def gjk_distance_batch(
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    mask1: jnp.ndarray | None = None,
+    mask2: jnp.ndarray | None = None,
+    cfg: GJKEPAConfig = DEFAULT_CONFIG,
+    chunk_size: int | None = None,
+):
+    """Batched closest-distance queries over hull pairs (BASELINE config 2).
+
+    Returns a :class:`gjkepa_tpu.ops.distance.DistanceResult` batch: exact
+    separation distance + witness points for separated pairs, 0 for
+    intersecting pairs.  Capability extension — the reference never reports
+    distance on the miss path (SURVEY.md §3.2).
+    """
+    def one(a, b, ma, mb):
+        return gjk_distance(make_hull_support(a, b, ma, mb), cfg, dtype=p1.dtype)
+
+    if chunk_size is None:
+        in_axes = (0, 0, None if mask1 is None else 0, None if mask2 is None else 0)
+        return jax.vmap(one, in_axes=in_axes)(p1, p2, mask1, mask2)
+    return jax.lax.map(lambda xs: one(*xs), (p1, p2, mask1, mask2),
+                       batch_size=chunk_size)

@@ -60,7 +60,8 @@ class GJKEPAConfig:
         absolute ladder would never trigger, so degenerate-path detection
         needs looser thresholds.  Caps are unchanged.
         """
-        return GJKEPAConfig(eps_coincide=1e-5, eps_zero=1e-8)
+        return GJKEPAConfig(eps_coincide=1e-5, eps_zero=1e-8,
+                            epa_max_verts=40, epa_max_faces=76)
 
 
 DEFAULT_CONFIG = GJKEPAConfig()

@@ -17,12 +17,12 @@ face's outward normal (:994-1009):
     adds < eps beyond the face — observably equivalent to the reference's
     "sorted face distances stopped changing within 1e-8" test) or stitches
     the new vertex in over the horizon;
-  * the horizon is found without pointer chasing: an undirected-edge
-    occurrence table (scatter-add over a V*V key space) marks edges with
-    exactly one visible adjacent face — O(F) per iteration, winding-free
-    because normals are re-oriented against the polytope centroid each
-    iteration (mirroring the reference's centroid orientation fix for
-    on-face origins, :902-910);
+  * the horizon is found without pointer chasing: a pairwise undirected-
+    edge-key match (raw VPU compares — cheaper on TPU than scatter tables,
+    which lower to sort-based updates) marks edges with exactly one visible
+    adjacent face; winding-free because normals are re-oriented against the
+    polytope centroid each iteration (mirroring the reference's centroid
+    orientation fix for on-face origins, :902-910);
   * the reference's touching-contact double support injection (:934-944)
     is unnecessary here: the seed tetra always has volume (the GJK init
     path guarantees it), so the polytope never degenerates to a plane.
@@ -95,7 +95,6 @@ def run_epa(
     V = cfg.epa_max_verts
     F = cfg.epa_max_faces
     eps = cfg.eps_coincide
-    key_space = V * V
 
     verts0 = jnp.zeros((V, 3), dtype=dtype).at[:4].set(simplex)
     faces0 = jnp.zeros((F, 3), dtype=jnp.int32).at[:4].set(_SEED_FACES)
@@ -126,11 +125,12 @@ def run_epa(
         u = jnp.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
         v = jnp.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
         evis = jnp.concatenate([visible, visible, visible])
-        ukey = jnp.minimum(u, v) * V + jnp.maximum(u, v)
-        count = jnp.zeros((key_space,), jnp.int32).at[
-            jnp.where(evis, ukey, key_space - 1)
-        ].add(jnp.where(evis, 1, 0))
-        horizon = evis & (count[ukey] == 1)
+        # Undirected-edge occurrence count among visible edges via a pairwise
+        # key match: O(E^2) vectorized compares beat a scatter table on TPU
+        # (scatters lower to sort-based updates; compares are raw VPU lanes).
+        ukey = jnp.where(evis, jnp.minimum(u, v) * V + jnp.maximum(u, v), -1)
+        cnt = jnp.sum(ukey[:, None] == ukey[None, :], axis=1)
+        horizon = evis & (cnt == 1)
 
         n_new = jnp.sum(horizon)
         free = ~alive | visible
@@ -141,10 +141,11 @@ def run_epa(
         do_insert = ~(converged | cant_expand)
 
         # --- masked insertion: i-th horizon edge -> i-th free slot --------
-        # (argsort(~mask) is a stable compaction of True entries to the front)
-        free_slots = jnp.argsort(~free)                      # (F,) slot ids, free first
-        e_rank = jnp.cumsum(horizon) - 1                     # (3F,) rank per horizon edge
-        slot = free_slots[jnp.clip(e_rank, 0, F - 1)]
+        # slot of rank r = first index where cumsum(free) == r+1, found by a
+        # vectorized binary search (no sort, no scatter).
+        cfree = jnp.cumsum(free.astype(jnp.int32))           # (F,) nondecreasing
+        e_rank = jnp.cumsum(horizon.astype(jnp.int32)) - 1   # (3F,) rank per edge
+        slot = jnp.searchsorted(cfree, jnp.clip(e_rank, 0, F - 1) + 1, side="left")
         write = horizon & do_insert & (e_rank < n_free)
         tgt = jnp.where(write, slot, F)                      # F = dropped
         new_face = jnp.stack([u, v, jnp.full_like(u, n_verts)], axis=1)

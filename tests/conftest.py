@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend regardless of
+# JAX_PLATFORMS; override programmatically so tests are hermetic on the
+# 8-virtual-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the masked while-loops are compile-heavy on the
 # CPU backend; cache across test runs.

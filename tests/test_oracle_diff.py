@@ -1,0 +1,133 @@
+"""Differential tests: TPU engine vs the float64 reference-semantics oracle.
+
+Per SURVEY.md §4.1 the engine must agree with the reference on hit/miss and
+reproduce penetration depth to <1e-5 (BASELINE.json).  The oracle follows
+the reference's exact control flow (rebuild-EPA via qhull); the engine uses
+a different mechanism (incremental EPA), so normals can legitimately differ
+when several polytope faces tie for minimum distance — those cases are
+detected and the depth comparison (which is tie-invariant) still applies.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gjkepa_tpu import GJKEPAConfig, gjkepa
+from tests.conftest import cube, random_hull
+from tests.oracle_np import OracleHalt, gjkepa_oracle
+
+DEPTH_TOL = 1e-6
+NORMAL_TOL = 1e-6
+
+
+def run_both(p1, p2, version=2):
+    try:
+        o = gjkepa_oracle(p1, p2, version=version)
+    except OracleHalt as e:
+        return None, str(e)
+    r = gjkepa(jnp.asarray(p1), jnp.asarray(p2),
+               cfg=GJKEPAConfig(version=version))
+    return (o, r), None
+
+
+def check_pair(p1, p2, version=2, stats=None):
+    """Compare engine vs oracle on one pair.  Note: for version 3 the
+    nearest-points check is skipped — both sides compute nearest points with
+    the EPA normal (ref :326) and then v3 REWRITES the reported normal
+    (ref :334-335), so support values at the reported normal are not the
+    contract those points satisfy."""
+    both, halt = run_both(p1, p2, version)
+    if both is None:
+        if stats is not None:
+            stats["halt"] += 1
+        return
+    o, r = both
+    assert bool(r.hit) == o.hit, "hit/miss verdict diverged from reference"
+    if not o.hit or o.epa_capped:
+        return
+    if stats is not None:
+        stats["hits"] += 1
+    assert float(r.depth) == pytest.approx(o.depth, abs=DEPTH_TOL), (
+        f"depth {float(r.depth)} vs oracle {o.depth}")
+    n_ours = np.asarray(r.normal)
+    if float(np.dot(n_ours, o.normal)) > 1.0 - NORMAL_TOL:
+        # unique min face: contact-output parity expected
+        np.testing.assert_allclose(n_ours, o.normal, atol=1e-5)
+        # Witness points are argmax picks; when several vertices tie (a face
+        # perpendicular to the normal) fp reduction order may pick different
+        # but equally extreme vertices — compare support VALUES, which are
+        # the observable contract of get_nearest_points (ref :826-849).
+        if version != 3:
+            np1, np2 = np.asarray(r.nearest_points)
+            assert float(np1 @ o.normal) == pytest.approx(
+                float(o.nearest_points[0] @ o.normal), abs=1e-7)
+            assert float(np2 @ -o.normal) == pytest.approx(
+                float(o.nearest_points[1] @ -o.normal), abs=1e-7)
+        assert int(r.colli_type) == o.colli_type
+        # Contact points are support-set statistics (midpoints/centroids/
+        # feet); sets at tol 0.1 are fp-robust, so require close agreement
+        # unless a tie-sensitive single-vertex pick is involved.
+        cp_err = float(np.max(np.abs(np.asarray(r.contact_point) -
+                                     o.contact_point)))
+        if cp_err > 1e-5:
+            if stats is None:
+                raise AssertionError(
+                    f"contact point diverged: {np.asarray(r.contact_point)} "
+                    f"vs {o.contact_point}")
+            stats["cp_mismatch"] += 1
+    else:
+        # min-face tie: both normals must still certify the same depth
+        if stats is not None:
+            stats["normal_tie"] += 1
+
+
+class TestDifferentialCubes:
+    def test_axis_offsets(self):
+        for dx in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.01, 1.2, 1.8):
+            check_pair(cube([0, 0, 0]), cube([dx, 0, 0]))
+
+    def test_diagonal_offsets(self):
+        for t in (0.1, 0.4, 0.8, 1.2):
+            check_pair(cube([0, 0, 0]), cube([t * 0.6, t * 0.5, t * 0.4]))
+
+    def test_small_cube_inside_big(self):
+        check_pair(cube([0, 0, 0], half=1.0), cube([0.1, 0.05, 0.0], half=0.25))
+
+    def test_rotated_cubes(self, rng):
+        for _ in range(10):
+            q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            c2 = cube([0, 0, 0]) @ q.T + rng.normal(size=3) * 0.6
+            check_pair(cube([0, 0, 0]), c2)
+
+
+class TestDifferentialRandomHulls:
+    def test_random_pairs_mixed(self, rng):
+        stats = {"hits": 0, "halt": 0, "normal_tie": 0, "cp_mismatch": 0}
+        n_pairs = 120
+        for _ in range(n_pairs):
+            a = random_hull(rng, 12, center=rng.normal(size=3) * 0.7)
+            b = random_hull(rng, 12, center=rng.normal(size=3) * 0.7)
+            check_pair(a, b, stats=stats)
+        # the comparison must actually exercise hits, and pathological
+        # skips must stay rare
+        assert stats["hits"] >= n_pairs // 10, stats
+        assert stats["halt"] <= n_pairs // 10, stats
+        assert stats["normal_tie"] <= stats["hits"] // 2, stats
+        assert stats["cp_mismatch"] <= max(1, stats["hits"] // 10), stats
+
+    def test_deep_penetration_pairs(self, rng):
+        stats = {"hits": 0, "halt": 0, "normal_tie": 0, "cp_mismatch": 0}
+        for _ in range(30):
+            a = random_hull(rng, 16, scale=2.0)
+            b = random_hull(rng, 10, center=rng.normal(size=3) * 0.2, scale=0.5)
+            check_pair(a, b, stats=stats)
+        assert stats["hits"] >= 10, stats
+
+    def test_contact_versions(self, rng):
+        for v in (1, 2, 3):
+            for _ in range(15):
+                a = random_hull(rng, 10, center=rng.normal(size=3) * 0.5)
+                b = random_hull(rng, 10, center=rng.normal(size=3) * 0.5)
+                check_pair(a, b, version=v)
