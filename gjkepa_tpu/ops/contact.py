@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import GJKEPAConfig
-from .geom import foot_ll, foot_pl, is_inside_pf, sort_clock_indices
+from .geom import counting_argsort, foot_ll, foot_pl, is_inside_pf, sort_clock_indices
 
 __all__ = [
     "nearest_points",
@@ -53,10 +53,17 @@ def _support_set_mask(p, mask, d, tol):
     return dots > jnp.max(dots) - tol, dots
 
 
+def _permute_rows(p, order):
+    """p[order] as a one-hot contraction (multi-row gathers serialize on TPU)."""
+    onehot = (order[:, None] == jnp.arange(p.shape[0])[None, :]).astype(p.dtype)
+    return onehot @ p
+
+
 def _compact(p, set_mask):
     """Front-compact the masked rows, preserving vertex order (list append order)."""
-    order = jnp.argsort(~set_mask)  # stable: True (members) first, in index order
-    return p[order], jnp.sum(set_mask)
+    # stable compaction: members first in index order (counting, no sort)
+    order = counting_argsort((~set_mask).astype(jnp.int32))
+    return _permute_rows(p, order), jnp.sum(set_mask)
 
 
 def nearest_points(p1, p2, normal, mask1=None, mask2=None):
@@ -145,7 +152,7 @@ def collision_point_v2(p1, p2, normal, cfg: GJKEPAConfig, mask1=None, mask2=None
     # case_04: edge-face (:575-669).  poly = the >=3 set, edge = the 2 set.
     def case_04(poly, n_poly, edge):
         order = sort_clock_indices(poly, n_poly)
-        poly_sorted = poly[order]
+        poly_sorted = _permute_rows(poly, order)
         inside0 = is_inside_pf(poly_sorted, edge[0], n_poly, cfg.eps_zero)
         inside1 = is_inside_pf(poly_sorted, edge[1], n_poly, cfg.eps_zero)
         cnt_in = inside0.astype(jnp.int32) + inside1.astype(jnp.int32)

@@ -57,6 +57,17 @@ class EPAResult(NamedTuple):
     status: jnp.ndarray   # int32 Status (HIT / HIT_EPA_CAP / HIT_EPA_DEGENERATE)
 
 
+def _take_rows(table, idx):
+    """Batched row gather as a one-hot matmul.
+
+    TPU lowers real gathers to serialized dynamic slices under vmap; a
+    (K, V) one-hot times (V, 3) contraction is pure VPU/MXU work and is
+    orders of magnitude faster at these sizes.
+    """
+    onehot = (idx[:, None] == jnp.arange(table.shape[0])[None, :])
+    return onehot.astype(table.dtype) @ table
+
+
 def _face_geometry(verts, faces, alive, n_verts, eps_zero):
     """Outward unit normals and origin distances of alive faces.
 
@@ -68,9 +79,9 @@ def _face_geometry(verts, faces, alive, n_verts, eps_zero):
     nf = jnp.maximum(n_verts, 1).astype(verts.dtype)
     centroid = jnp.sum(jnp.where(vmask, verts, 0.0), axis=0) / nf
 
-    a = verts[faces[:, 0]]
-    b = verts[faces[:, 1]]
-    c = verts[faces[:, 2]]
+    a = _take_rows(verts, faces[:, 0])
+    b = _take_rows(verts, faces[:, 1])
+    c = _take_rows(verts, faces[:, 2])
     n = jnp.cross(b - a, c - a)
     nrm = jnp.linalg.norm(n, axis=1)
     ok = alive & (nrm > eps_zero)
@@ -108,8 +119,11 @@ def run_epa(
         normals, dists, ok = _face_geometry(verts, faces, alive, n_verts, cfg.eps_zero)
         all_degenerate = ~jnp.any(ok)
         f_star = jnp.argmin(dists)
-        d_min = jnp.where(all_degenerate, jnp.asarray(0.0, dtype), dists[f_star])
-        direction = jnp.where(all_degenerate, jnp.zeros(3, dtype), normals[f_star])
+        star_onehot = jnp.arange(F) == f_star
+        d_min_raw = jnp.min(dists)
+        dir_raw = jnp.sum(jnp.where(star_onehot[:, None], normals, 0.0), axis=0)
+        d_min = jnp.where(all_degenerate, jnp.asarray(0.0, dtype), d_min_raw)
+        direction = jnp.where(all_degenerate, jnp.zeros(3, dtype), dir_raw)
 
         w = support(direction).w
         gain = jnp.dot(w, direction) - d_min
@@ -140,20 +154,32 @@ def run_epa(
         )
         do_insert = ~(converged | cant_expand)
 
-        # --- masked insertion: i-th horizon edge -> i-th free slot --------
-        # slot of rank r = first index where cumsum(free) == r+1, found by a
-        # vectorized binary search (no sort, no scatter).
-        cfree = jnp.cumsum(free.astype(jnp.int32))           # (F,) nondecreasing
-        e_rank = jnp.cumsum(horizon.astype(jnp.int32)) - 1   # (3F,) rank per edge
-        slot = jnp.searchsorted(cfree, jnp.clip(e_rank, 0, F - 1) + 1, side="left")
-        write = horizon & do_insert & (e_rank < n_free)
-        tgt = jnp.where(write, slot, F)                      # F = dropped
-        new_face = jnp.stack([u, v, jnp.full_like(u, n_verts)], axis=1)
-        alive_new = jnp.where(do_insert, alive & ~visible, alive)
-        alive_new = alive_new.at[tgt].set(True, mode="drop")
-        faces_new = faces.at[tgt].set(new_face, mode="drop")
-        verts_new = jnp.where(do_insert,
-                              verts.at[jnp.clip(n_verts, 0, V - 1)].set(w), verts)
+        # --- masked insertion: r-th horizon edge -> r-th free slot --------
+        # GATHER formulation (TPU scatters serialize; gathers don't): each
+        # slot computes its own rank among free slots and binary-searches
+        # the horizon-edge cumsum for the matching source edge.
+        # cumulative counts via constant-triangular matmuls (MXU) — log-stage
+        # associative scans generate many small slice/concat kernels on TPU
+        tri_f = jnp.tril(jnp.ones((F, F), dtype))
+        tri_e = jnp.tril(jnp.ones((3 * F, 3 * F), dtype))
+        rank_f = (tri_f @ free.astype(dtype)).astype(jnp.int32) - 1   # (F,)
+        chor = (tri_e @ horizon.astype(dtype)).astype(jnp.int32)      # (3F,)
+        # searchsorted-left(chor, r+1) == #(chor < r+1): a compare-count,
+        # which vectorizes cleanly where searchsorted's scan does not.
+        src_edge = jnp.sum(chor[None, :] < (rank_f[:, None] + 1), axis=1)
+        src_edge = jnp.clip(src_edge, 0, 3 * F - 1)
+        write_slot = free & (rank_f < n_new) & do_insert
+        # int gather via one-hot dot (values < 3F << 2^24, exact in f32)
+        src_onehot = (src_edge[:, None] == jnp.arange(3 * F)[None, :]).astype(dtype)
+        uu = (src_onehot @ u.astype(dtype)).astype(jnp.int32)
+        vv = (src_onehot @ v.astype(dtype)).astype(jnp.int32)
+        new_face = jnp.stack([uu, vv, jnp.full_like(uu, n_verts)], axis=1)  # (F,3)
+        faces_new = jnp.where(write_slot[:, None], new_face, faces)
+        alive_new = jnp.where(do_insert, (alive & ~visible) | write_slot, alive)
+        verts_new = jnp.where(
+            do_insert,
+            lax.dynamic_update_slice(verts, w[None, :],
+                                     (n_verts, jnp.int32(0))), verts)
         n_verts_new = jnp.where(do_insert, n_verts + 1, n_verts)
 
         done = converged | cant_expand

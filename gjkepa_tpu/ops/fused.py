@@ -1,0 +1,703 @@
+"""Fused Pallas GJK+EPA kernel (the hot-path TPU implementation).
+
+One `pallas_call` program processes a block of BLOCK pairs entirely in
+VMEM: broadphase reject, staged init (v1-v4), the always-tetra GJK loop,
+and the incremental capped-face EPA — no per-iteration XLA kernel
+launches, no HBM round-trips for the polytope state, no gathers (every
+indexed access is a one-hot contraction on the VPU).
+
+Layout: *pairs live on the vector lanes*.  Every per-pair scalar is a
+(1, BLOCK) array (2-D — Mosaic's layout inference is fragile for 1-D lane
+vectors in loop carries) and every 3-vector is a :class:`P3` of three
+(1, BLOCK) arrays, so the geometry code reads like scalar code while each
+op runs 128+ pairs wide.  Vertex buffers are (N, BLOCK) per coordinate;
+per-face EPA state is (F, BLOCK).  Boolean masks never cross loop
+boundaries (int32 carries) and mask reductions go through int32 — both
+Mosaic lowering constraints.
+
+Semantics match gjkepa_tpu.ops.gjk / ops.epa (same staged construction,
+termination rules and epsilon ladder — see those modules for the
+reference citations).  The separate XLA path remains the portable
+implementation and the cross-check in tests.
+
+Current scope: convex-hull pairs, float32, hulls pre-padded by repeating
+a real vertex (utils.hull.pad_hulls does this), contact derivation left
+to the XLA ops (one-shot, outside the iteration hot path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import GJKEPAConfig
+from ..types import Status
+from .directions import DIRECTION_TABLE
+
+__all__ = ["fused_gjkepa_hulls", "FusedResult"]
+
+_RUNNING = -1
+
+
+class P3(NamedTuple):
+    """A block of 3-vectors: three (1, BLOCK) lane arrays."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    def __add__(self, o):
+        return P3(self.x + o.x, self.y + o.y, self.z + o.z)
+
+    def __sub__(self, o):
+        return P3(self.x - o.x, self.y - o.y, self.z - o.z)
+
+    def __neg__(self):
+        return P3(-self.x, -self.y, -self.z)
+
+
+def pzero(block, dtype=jnp.float32):
+    z = jnp.zeros((1, block), dtype)
+    return P3(z, z, z)
+
+
+def pdot(a: P3, b: P3):
+    return a.x * b.x + a.y * b.y + a.z * b.z
+
+
+def pcross(a: P3, b: P3) -> P3:
+    return P3(a.y * b.z - a.z * b.y,
+              a.z * b.x - a.x * b.z,
+              a.x * b.y - a.y * b.x)
+
+
+def pscale(a: P3, s) -> P3:
+    return P3(a.x * s, a.y * s, a.z * s)
+
+
+def pnorm(a: P3):
+    return jnp.sqrt(pdot(a, a))
+
+
+def putz(a: P3, eps) -> P3:
+    """utzvec: zero vector if norm < eps (ref :1343-1352)."""
+    n = pnorm(a)
+    s = jnp.where(n < eps, 0.0, 1.0 / jnp.where(n < eps, 1.0, n))
+    return pscale(a, s)
+
+
+def pwhere(m, a: P3, b: P3) -> P3:
+    return P3(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y),
+              jnp.where(m, a.z, b.z))
+
+
+def pcoincide(a: P3, b: P3, eps):
+    """ALL(|a-b| < eps) — the reference's vertex-coincidence test."""
+    return ((jnp.abs(a.x - b.x) < eps) & (jnp.abs(a.y - b.y) < eps)
+            & (jnp.abs(a.z - b.z) < eps))
+
+
+def _uninml(a: P3, b: P3, c: P3, eps_zero) -> P3:
+    """Plane unit normal; zero when degenerate, component-wise test
+    matching UNINML (ref :1382-1394)."""
+    cr = pcross(b - a, c - b)
+    ok = ((jnp.abs(cr.x) > eps_zero) | (jnp.abs(cr.y) > eps_zero)
+          | (jnp.abs(cr.z) > eps_zero))
+    n = pnorm(cr)
+    s = jnp.where(ok, 1.0 / jnp.where(ok, n, 1.0), 0.0)
+    return pscale(cr, s)
+
+
+def _dist_pf_sign(p: P3, a: P3, b: P3, c: P3, eps_zero):
+    n = _uninml(a, b, c, eps_zero)
+    return pdot(p - a, n)
+
+
+def _tri_edge_cross(ax, ay, bx, by, px, py):
+    """z-component of (B-A) x (P-A) for one polygon edge."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def _is_inside_tri(a: P3, b: P3, c: P3, p: P3, eps_zero):
+    """IS_INSIDE_PF for a triangle (ref :1271-1337), lane-vectorized.
+
+    XOY edge crosses, |c|<eps_zero clamped to 0, the all-nonpositive quirk
+    falling through to the XOZ projection, sign-flip-vs-first-element test.
+    """
+    def crosses(ax_, ay_, bx_, by_, cx_, cy_, px_, py_):
+        c0 = _tri_edge_cross(ax_, ay_, bx_, by_, px_, py_)
+        c1 = _tri_edge_cross(bx_, by_, cx_, cy_, px_, py_)
+        c2 = _tri_edge_cross(cx_, cy_, ax_, ay_, px_, py_)
+        return c0, c1, c2
+
+    cx0, cx1, cx2 = crosses(a.x, a.y, b.x, b.y, c.x, c.y, p.x, p.y)
+    cx0 = jnp.where(jnp.abs(cx0) < eps_zero, 0.0, cx0)
+    cx1 = jnp.where(jnp.abs(cx1) < eps_zero, 0.0, cx1)
+    cx2 = jnp.where(jnp.abs(cx2) < eps_zero, 0.0, cx2)
+    use_xz = ~((cx0 > 1e-15) | (cx1 > 1e-15) | (cx2 > 1e-15))
+    cz0, cz1, cz2 = crosses(a.x, a.z, b.x, b.z, c.x, c.z, p.x, p.z)
+    c0 = jnp.where(use_xz, cz0, cx0)
+    c1 = jnp.where(use_xz, cz1, cx1)
+    c2 = jnp.where(use_xz, cz2, cx2)
+    outside = (c0 * c1 < 0.0) | (c0 * c2 < 0.0)
+    return ~outside
+
+
+# the always-tetra face tables (ref :1093-1118, :1227-1229)
+_FACE_IDX = ((0, 2, 3), (0, 1, 3), (0, 1, 2), (1, 2, 3))
+
+
+def _point_in_simplex(p: P3, s, eps_coincide, eps_zero):
+    """isPointInSimplex (ref :1217-1265): s is a tuple of 4 P3 vertices."""
+    m = P3((s[0].x + s[1].x + s[2].x + s[3].x) * 0.25,
+           (s[0].y + s[1].y + s[2].y + s[3].y) * 0.25,
+           (s[0].z + s[1].z + s[2].z + s[3].z) * 0.25)
+    all_pos = None
+    any_on_face = None
+    for i, (f0, f1, f2) in enumerate(_FACE_IDX):
+        a, b, c = s[f0], s[f1], s[f2]
+        nml = putz(pcross(a - b, b - c), eps_zero)
+        flip = pdot(nml, s[i] - m) < 0.0
+        nml = pwhere(flip, -nml, nml)
+        dist = pdot(s[i] - p, nml)
+        on_plane = jnp.abs(dist) < eps_coincide
+        inside = _is_inside_tri(a, b, c, p, eps_zero)
+        onf = on_plane & inside
+        pos = dist > 0.0
+        all_pos = pos if all_pos is None else (all_pos & pos)
+        any_on_face = onf if any_on_face is None else (any_on_face | onf)
+    return any_on_face | all_pos
+
+
+def _vec_pl(p: P3, a: P3, b: P3, eps_zero) -> P3:
+    """VEC_PL (ref :1423-1440): unit vector from p toward its foot on line ab."""
+    ab = b - a
+    n = pnorm(ab)
+    safe = jnp.where(n < eps_zero, 1.0, n)
+    t = pdot(p - a, ab) / safe
+    foot = a + pscale(ab, t / safe)
+    return putz(foot - p, eps_zero)
+
+
+def _make_hull_support(v1x, v1y, v1z, v2x, v2y, v2z, n_iota1, n_iota2):
+    """Support of the Minkowski difference over two (N, BLOCK) vertex sets.
+
+    Directions and results are (1, BLOCK) P3s; the winning row is extracted
+    with a first-max one-hot contraction (argmax keepdims), not a gather.
+    """
+
+    def support(d: P3) -> P3:
+        dots1 = v1x * d.x + v1y * d.y + v1z * d.z          # (N, BLOCK)
+        i1 = jnp.argmax(dots1, axis=0, keepdims=True)      # (1, BLOCK)
+        oh1 = n_iota1 == i1
+        ax = jnp.sum(jnp.where(oh1, v1x, 0.0), axis=0, keepdims=True)
+        ay = jnp.sum(jnp.where(oh1, v1y, 0.0), axis=0, keepdims=True)
+        az = jnp.sum(jnp.where(oh1, v1z, 0.0), axis=0, keepdims=True)
+        dots2 = -(v2x * d.x + v2y * d.y + v2z * d.z)
+        i2 = jnp.argmax(dots2, axis=0, keepdims=True)
+        oh2 = n_iota2 == i2
+        bx = jnp.sum(jnp.where(oh2, v2x, 0.0), axis=0, keepdims=True)
+        by = jnp.sum(jnp.where(oh2, v2y, 0.0), axis=0, keepdims=True)
+        bz = jnp.sum(jnp.where(oh2, v2z, 0.0), axis=0, keepdims=True)
+        return P3(ax - bx, ay - by, az - bz)
+
+    return support
+
+
+def _gjk_phase(support, active, table_xyz, cfg: GJKEPAConfig, block):
+    """Init (v1-v4) + iterate loop; returns (simplex 4xP3, status, iters, sep).
+
+    `active` is a (1, BLOCK) bool; all returned per-pair values are (1, BLOCK).
+    """
+    eps = cfg.eps_coincide
+    epz = cfg.eps_zero
+    tx, ty, tz = table_xyz                     # (100, 1) each
+    n_table = tx.shape[0]
+    t_iota = lax.broadcasted_iota(jnp.int32, (n_table, block), 0)
+
+    def table_dir(it):
+        sel = t_iota == (it % n_table)         # (100, BLOCK)
+        return P3(jnp.sum(jnp.where(sel, tx, 0.0), axis=0, keepdims=True),
+                  jnp.sum(jnp.where(sel, ty, 0.0), axis=0, keepdims=True),
+                  jnp.sum(jnp.where(sel, tz, 0.0), axis=0, keepdims=True))
+
+    zero = pzero(block)
+    sep0 = jnp.zeros((1, block), jnp.float32)
+
+    def sep_upd(sep, d, w, run):
+        return jnp.where(run, jnp.maximum(sep, -pdot(w, d)), sep)
+
+    # --- v1/v2 retry loop (ref :82-112) --------------------------------
+    def init_cond(c):
+        return jnp.sum(c["run"]) > 0  # run is int32
+
+    def init_body(c):
+        run = c["run"] > 0
+        d = table_dir(c["it"])
+        w1 = support(d)
+        w2 = support(-d)
+        s1 = pwhere(run, w1, c["s1"])
+        s2 = pwhere(run, w2, c["s2"])
+        sep = sep_upd(sep_upd(c["sep"], d, w1, run), -d, w2, run)
+        it = jnp.where(run, c["it"] + 1, c["it"])
+        runn = run & pcoincide(s1, s2, eps) & (it < cfg.init_max_iters)
+        return {"it": it, "s1": s1, "s2": s2,
+                "run": jnp.where(runn, jnp.int32(1), jnp.int32(0)), "sep": sep}
+
+    init = {"it": jnp.zeros((1, block), jnp.int32), "s1": zero, "s2": zero,
+            "run": jnp.where(active, jnp.int32(1), jnp.int32(0)), "sep": sep0}
+    st = lax.while_loop(init_cond, init_body, init)
+    s1, s2, sep = st["s1"], st["s2"], st["sep"]
+    init_failed = pcoincide(s1, s2, eps)
+
+    # --- v3 (ref :115-127) + origin-on-segment robustness fix ----------
+    d3 = _vec_pl(zero, s1, s2, epz)
+    seg = s2 - s1
+    it0 = jnp.zeros((1, block), jnp.int32)
+    alt = putz(pcross(seg, table_dir(it0)), epz)
+    alt2 = putz(pcross(seg, table_dir(it0 + 1)), epz)
+    alt = pwhere(pdot(alt, alt) > 0.0, alt, alt2)
+    d3 = pwhere(pdot(d3, d3) > 0.0, d3, alt)
+    s3 = support(d3)
+    sep = sep_upd(sep, d3, s3, active)
+    v3_degenerate = pcoincide(s3, s1, eps) | pcoincide(s3, s2, eps)
+
+    # --- v4 + early-EPA checks (ref :130-170) ---------------------------
+    d4 = putz(pcross(s2 - s1, s3 - s2), epz)
+    vo = -s3
+    on_plane = jnp.abs(pdot(vo, d4)) < eps
+    in_tri = _is_inside_tri(s1, s2, s3, zero, epz)
+    early_hit = on_plane & in_tri
+
+    d4f = pwhere(pdot(vo, d4) < 0.0, -d4, d4)
+    s4 = support(d4f)
+    sep = sep_upd(sep, d4f, s4, active)
+    v4_coplanar = jnp.abs(_dist_pf_sign(s4, s1, s2, s3, epz)) < eps
+
+    s4e = support(d4)
+    s4e_cop = jnp.abs(_dist_pf_sign(s4e, s1, s2, s3, epz)) < eps
+    s4_early = pwhere(s4e_cop, support(-d4), s4e)
+
+    s4 = pwhere(early_hit, s4_early, s4)
+    in_tetra = _point_in_simplex(zero, (s1, s2, s3, s4), eps, epz)
+
+    status = jnp.full((1, block), _RUNNING, jnp.int32)
+    status = jnp.where(in_tetra, Status.HIT, status)
+    status = jnp.where(v4_coplanar, Status.MISS_INIT, status)
+    status = jnp.where(early_hit, Status.HIT, status)
+    status = jnp.where(v3_degenerate, Status.MISS_INIT, status)
+    status = jnp.where(init_failed, Status.MISS_INIT, status)
+    status = jnp.where(active, status, Status.MISS_BROADPHASE)
+
+    # --- iterate loop (ref :178-236) ------------------------------------
+    def loop_cond(c):
+        run = (c["status"] == _RUNNING) & (c["it"] < cfg.gjk_max_iters)
+        return jnp.sum(jnp.where(run, jnp.int32(1), jnp.int32(0))) > 0
+
+    def loop_body(c):
+        run = (c["status"] == _RUNNING) & (c["it"] < cfg.gjk_max_iters)
+        s = c["s"]
+        m = P3((s[0].x + s[1].x + s[2].x + s[3].x) * 0.25,
+               (s[0].y + s[1].y + s[2].y + s[3].y) * 0.25,
+               (s[0].z + s[1].z + s[2].z + s[3].z) * 0.25)
+        # 4 outward face normals + origin-beyond scores (ref :1086-1121);
+        # MAXLOC(first max) computed with an explicit strict-> chain.
+        normals = []
+        scores = []
+        for (f0, f1, f2) in _FACE_IDX:
+            n = putz(pcross(s[f0] - s[f1], s[f1] - s[f2]), epz)
+            n = pwhere(pdot(n, s[f0] - m) < 0.0, -n, n)
+            normals.append(n)
+            scores.append(-pdot(n, s[f0]))
+        best = scores[0]
+        k = jnp.zeros((1, block), jnp.int32)
+        for i in (1, 2, 3):
+            better = scores[i] > best
+            best = jnp.where(better, scores[i], best)
+            k = jnp.where(better, jnp.int32(i), k)
+        d = pzero(block)
+        for i in range(4):
+            d = pwhere(k == i, normals[i], d)
+        w = support(d)
+        sepn = sep_upd(c["sep"], d, w, run)
+        # new simplex = chosen face verts + w (ref :1130-1153)
+        new_s = []
+        for slot in range(3):
+            v = pzero(block)
+            for i in range(4):
+                v = pwhere(k == i, s[_FACE_IDX[i][slot]], v)
+            new_s.append(v)
+        new_s.append(w)
+
+        flat_tri = pnorm(pcross(new_s[1] - new_s[0], new_s[2] - new_s[1])) < eps
+        coplanar4 = jnp.abs(_dist_pf_sign(new_s[3], new_s[0], new_s[1],
+                                          new_s[2], epz)) < eps
+        contains = _point_in_simplex(pzero(block), tuple(new_s), eps, epz)
+        stalled = None
+        for i in range(4):
+            same = (pcoincide(new_s[i], c["l1"][i], eps)
+                    | pcoincide(new_s[i], c["l2"][i], eps))
+            stalled = same if stalled is None else (stalled & same)
+
+        stn = c["status"]
+        stn = jnp.where(run & stalled, Status.MISS_GJK, stn)
+        stn = jnp.where(run & contains, Status.HIT, stn)
+        stn = jnp.where(run & coplanar4, Status.MISS_GJK, stn)
+        stn = jnp.where(run & flat_tri, Status.MISS_GJK, stn)
+
+        keep = lambda new, old: tuple(pwhere(run, n_, o_)  # noqa: E731
+                                      for n_, o_ in zip(new, old))
+        return {
+            "s": keep(new_s, c["s"]),
+            "l1": keep(c["s"], c["l1"]),
+            "l2": keep(c["l1"], c["l2"]),
+            "it": jnp.where(run, c["it"] + 1, c["it"]),
+            "status": stn,
+            "sep": sepn,
+        }
+
+    carry = {
+        "s": (s1, s2, s3, s4),
+        "l1": (zero, zero, zero, zero),
+        "l2": (zero, zero, zero, zero),
+        "it": jnp.zeros((1, block), jnp.int32),
+        "status": status,
+        "sep": sep,
+    }
+    out = lax.while_loop(loop_cond, loop_body, carry)
+    status = jnp.where(out["status"] == _RUNNING, Status.MISS_GJK, out["status"])
+    hit = status == Status.HIT
+    sep = jnp.where(hit | ~active, 0.0, jnp.maximum(out["sep"], 0.0))
+    return out["s"], status, out["it"], sep
+
+
+def _epa_phase(support, simplex, active, cfg: GJKEPAConfig, block):
+    """Incremental capped-face EPA on (F, BLOCK) state (see ops/epa.py)."""
+    eps = cfg.eps_coincide
+    epz = cfg.eps_zero
+    V = cfg.epa_max_verts
+    F = cfg.epa_max_faces
+    E = 3 * F
+
+    v_iota = lax.broadcasted_iota(jnp.int32, (V, block), 0)
+    f_iota = lax.broadcasted_iota(jnp.int32, (F, block), 0)
+
+    def seed_coord(get):
+        arr = jnp.zeros((V, block), jnp.float32)
+        for i in range(4):
+            arr = jnp.where(v_iota == i, get(simplex[i]), arr)
+        return arr
+
+    vx0 = seed_coord(lambda p: p.x)
+    vy0 = seed_coord(lambda p: p.y)
+    vz0 = seed_coord(lambda p: p.z)
+
+    seed_faces = ((0, 1, 2), (0, 2, 3), (0, 1, 3), (1, 2, 3))  # ref :279-293
+    fi = []
+    for slot in range(3):
+        arr = jnp.zeros((F, block), jnp.int32)
+        for i in range(4):
+            arr = jnp.where(f_iota == i, jnp.int32(seed_faces[i][slot]), arr)
+        fi.append(arr)
+    alive0 = jnp.where(f_iota < 4, jnp.int32(1), jnp.int32(0))
+
+    def vert_coord(idx, coord):
+        """coord lookup: (F, BLOCK) indices into (V, BLOCK) table (one-hot,
+        chunked over V to bound the (ch, F, BLOCK) intermediate)."""
+        out = jnp.zeros((F, block), jnp.float32)
+        ch = 8
+        for j0 in range(0, V, ch):
+            j1 = min(j0 + ch, V)
+            ji = lax.broadcasted_iota(jnp.int32, (j1 - j0, 1, 1), 0) + j0
+            oh = idx[None, :, :] == ji                   # (ch, F, BLOCK)
+            cblk = jnp.expand_dims(lax.slice_in_dim(coord, j0, j1, axis=0), 1)
+            out = out + jnp.sum(jnp.where(oh, cblk, 0.0), axis=0)
+        return out
+
+    def cond(c):
+        run = (c["done"] == 0) & (c["it"] < cfg.epa_max_iters)
+        return jnp.sum(jnp.where(run, jnp.int32(1), jnp.int32(0))) > 0
+
+    def body(c):
+        run = (c["done"] == 0) & (c["it"] < cfg.epa_max_iters)   # (1, BLOCK)
+        vx, vy, vz, nv = c["vx"], c["vy"], c["vz"], c["nv"]
+        f0, f1, f2 = c["f0"], c["f1"], c["f2"]
+        alive = c["alive"] > 0
+
+        vmask = v_iota < nv
+        nvf = jnp.maximum(nv, 1).astype(jnp.float32)
+        cx = jnp.sum(jnp.where(vmask, vx, 0.0), axis=0, keepdims=True) / nvf
+        cy = jnp.sum(jnp.where(vmask, vy, 0.0), axis=0, keepdims=True) / nvf
+        cz = jnp.sum(jnp.where(vmask, vz, 0.0), axis=0, keepdims=True) / nvf
+
+        ax, ay, az = vert_coord(f0, vx), vert_coord(f0, vy), vert_coord(f0, vz)
+        bx, by, bz = vert_coord(f1, vx), vert_coord(f1, vy), vert_coord(f1, vz)
+        gx, gy, gz = vert_coord(f2, vx), vert_coord(f2, vy), vert_coord(f2, vz)
+        e1x, e1y, e1z = bx - ax, by - ay, bz - az
+        e2x, e2y, e2z = gx - ax, gy - ay, gz - az
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        nrm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        ok = alive & (nrm > epz)
+        inv = 1.0 / jnp.where(nrm > epz, nrm, 1.0)
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        outward = (nx * (ax - cx) + ny * (ay - cy) + nz * (az - cz)) >= 0.0
+        sgn = jnp.where(outward, 1.0, -1.0)
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+        dist = nx * ax + ny * ay + nz * az          # (F, BLOCK)
+        big = jnp.float32(3.4e38)
+        dist = jnp.where(ok, dist, big)
+
+        all_deg = jnp.max(jnp.where(ok, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True) == 0
+        kmin = jnp.argmin(dist, axis=0, keepdims=True)   # (1, BLOCK)
+        star = f_iota == kmin
+        d_min = jnp.where(all_deg, 0.0, jnp.min(dist, axis=0, keepdims=True))
+        dirx = jnp.sum(jnp.where(star, nx, 0.0), axis=0, keepdims=True)
+        diry = jnp.sum(jnp.where(star, ny, 0.0), axis=0, keepdims=True)
+        dirz = jnp.sum(jnp.where(star, nz, 0.0), axis=0, keepdims=True)
+        direction = pwhere(all_deg, pzero(block), P3(dirx, diry, dirz))
+
+        w = support(direction)
+        gain = pdot(w, direction) - d_min
+        dup = jnp.max(
+            jnp.where(vmask & (jnp.abs(vx - w.x) < eps)
+                      & (jnp.abs(vy - w.y) < eps)
+                      & (jnp.abs(vz - w.z) < eps), jnp.int32(1), jnp.int32(0)),
+            axis=0, keepdims=True) > 0
+        converged = (gain < eps) | dup
+
+        visible = ok & ((nx * w.x + ny * w.y + nz * w.z) > dist + epz)
+        visible = (visible | star) & alive
+
+        u = jnp.concatenate([f0, f1, f2], axis=0)    # (E, BLOCK)
+        v = jnp.concatenate([f1, f2, f0], axis=0)
+        evis = jnp.concatenate([visible, visible, visible], axis=0)
+        ukey = jnp.where(evis, jnp.minimum(u, v) * V + jnp.maximum(u, v), -1)
+        # pairwise undirected match (chunked): count of OTHER edges sharing
+        # the key
+        cnt = jnp.zeros((E, block), jnp.int32)
+        ch = 32
+        for j0 in range(0, E, ch):
+            j1 = min(j0 + ch, E)
+            blk = jnp.expand_dims(lax.slice_in_dim(ukey, j0, j1, axis=0), 0)
+            cnt = cnt + jnp.sum(
+                jnp.where(ukey[:, None, :] == blk, jnp.int32(1), jnp.int32(0)),
+                axis=1, dtype=jnp.int32)
+        cnt = cnt - 1
+        horizon = evis & (cnt == 0)
+
+        n_new = jnp.sum(jnp.where(horizon, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True, dtype=jnp.int32)
+        free = ~alive | visible
+        n_free = jnp.sum(jnp.where(free, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True, dtype=jnp.int32)
+        cant = (~converged) & ((n_new > n_free) | (nv >= V)
+                               | (n_new == 0) | all_deg)
+        do_ins = run & ~(converged | cant)
+
+        # cumulative counts via constant-triangular matmuls (MXU)
+        tri_f = jnp.tril(jnp.ones((F, F), jnp.float32))
+        tri_e = jnp.tril(jnp.ones((E, E), jnp.float32))
+        rank_f = jnp.dot(tri_f, jnp.where(free, 1.0, 0.0),
+                         preferred_element_type=jnp.float32).astype(jnp.int32) - 1
+        chor = jnp.dot(tri_e, jnp.where(horizon, 1.0, 0.0),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        # src edge for slot rank r: #(chor < r+1), chunked over E
+        src = jnp.zeros((F, block), jnp.int32)
+        for j0 in range(0, E, ch):
+            j1 = min(j0 + ch, E)
+            cblk = jnp.expand_dims(lax.slice_in_dim(chor, j0, j1, axis=0), 0)
+            src = src + jnp.sum(
+                jnp.where(cblk < (rank_f[:, None, :] + 1), jnp.int32(1), jnp.int32(0)),
+                axis=1, dtype=jnp.int32)
+        src = jnp.clip(src, jnp.int32(0), jnp.int32(E - 1))                     # (F, BLOCK)
+        write = free & (rank_f < n_new) & do_ins
+        # gather edge endpoints by chunked one-hot over E
+        uu = jnp.zeros((F, block), jnp.int32)
+        vv = jnp.zeros((F, block), jnp.int32)
+        for j0 in range(0, E, ch):
+            j1 = min(j0 + ch, E)
+            js = lax.broadcasted_iota(jnp.int32, (j1 - j0, 1, 1), 0) + j0
+            soh = src[None, :, :] == js                   # (ch, F, BLOCK)
+            ublk = jnp.expand_dims(lax.slice_in_dim(u, j0, j1, axis=0), 1)
+            vblk = jnp.expand_dims(lax.slice_in_dim(v, j0, j1, axis=0), 1)
+            uu = uu + jnp.sum(jnp.where(soh, ublk, 0), axis=0, dtype=jnp.int32)
+            vv = vv + jnp.sum(jnp.where(soh, vblk, 0), axis=0, dtype=jnp.int32)
+
+        f0n = jnp.where(write, uu, f0)
+        f1n = jnp.where(write, vv, f1)
+        f2n = jnp.where(write, nv, f2)
+        # int32-valued select: mosaic rejects bool-valued (i8<->i1) selects
+        alive_keep = jnp.where((alive & ~visible) | write, jnp.int32(1), jnp.int32(0))
+        alive_n = jnp.where(do_ins, alive_keep, c["alive"])
+        sel = (v_iota == nv) & do_ins
+        vxn = jnp.where(sel, w.x, vx)
+        vyn = jnp.where(sel, w.y, vy)
+        vzn = jnp.where(sel, w.z, vz)
+        nvn = jnp.where(do_ins, nv + 1, nv)
+
+        done_now = run & (converged | cant)
+        status = c["status"]
+        status = jnp.where(run & converged, Status.HIT, status)
+        status = jnp.where(run & cant, Status.HIT_EPA_DEGENERATE, status)
+        return {
+            "vx": vxn, "vy": vyn, "vz": vzn, "nv": nvn,
+            "f0": f0n, "f1": f1n, "f2": f2n, "alive": alive_n,
+            "it": jnp.where(run, c["it"] + 1, c["it"]),
+            "done": c["done"] | jnp.where(done_now, jnp.int32(1), jnp.int32(0)),
+            "depth": jnp.where(run, d_min, c["depth"]),
+            "nx_out": jnp.where(run, direction.x, c["nx_out"]),
+            "ny_out": jnp.where(run, direction.y, c["ny_out"]),
+            "nz_out": jnp.where(run, direction.z, c["nz_out"]),
+            "status": status,
+        }
+
+    z = jnp.zeros((1, block), jnp.float32)
+    carry = {
+        "vx": vx0, "vy": vy0, "vz": vz0,
+        "nv": jnp.full((1, block), 4, jnp.int32),
+        "f0": fi[0], "f1": fi[1], "f2": fi[2], "alive": alive0,
+        "it": jnp.zeros((1, block), jnp.int32),
+        "done": jnp.where(active, jnp.int32(0), jnp.int32(1)),
+        "depth": z, "nx_out": z, "ny_out": z, "nz_out": z,
+        "status": jnp.full((1, block), Status.HIT_EPA_CAP, jnp.int32),
+    }
+    out = lax.while_loop(cond, body, carry)
+    depth = jnp.where(active, out["depth"], 0.0)
+    normal = pwhere(active, P3(out["nx_out"], out["ny_out"], out["nz_out"]),
+                    pzero(block))
+    status = jnp.where(active, out["status"], 0)
+    return depth, normal, out["it"], status
+
+
+def _kernel(p1_ref, p2_ref, table_ref, out_ref, *, cfg: GJKEPAConfig, block: int,
+            use_broadphase: bool):
+    # refs: p*_ref (N, 3, BLOCK) f32; table_ref (100, 3) f32;
+    # out_ref (16, BLOCK) f32 packed rows:
+    #   0 hit, 1 status, 2 depth, 3-5 normal xyz, 6 gjk_iters, 7 epa_iters,
+    #   8 sep_lb (ints exact in f32; unpacked by the wrapper)
+    n1 = p1_ref.shape[0]
+    n2 = p2_ref.shape[0]
+    v1x, v1y, v1z = p1_ref[:, 0, :], p1_ref[:, 1, :], p1_ref[:, 2, :]
+    v2x, v2y, v2z = p2_ref[:, 0, :], p2_ref[:, 1, :], p2_ref[:, 2, :]
+    iota1 = lax.broadcasted_iota(jnp.int32, (n1, block), 0)
+    iota2 = lax.broadcasted_iota(jnp.int32, (n2, block), 0)
+
+    support = _make_hull_support(v1x, v1y, v1z, v2x, v2y, v2z, iota1, iota2)
+
+    # broadphase (ref :1165-1188)
+    if use_broadphase:
+        c1 = P3(jnp.mean(v1x, axis=0, keepdims=True),
+                jnp.mean(v1y, axis=0, keepdims=True),
+                jnp.mean(v1z, axis=0, keepdims=True))
+        c2 = P3(jnp.mean(v2x, axis=0, keepdims=True),
+                jnp.mean(v2y, axis=0, keepdims=True),
+                jnp.mean(v2z, axis=0, keepdims=True))
+        r1 = jnp.max(jnp.sqrt((v1x - c1.x) ** 2 + (v1y - c1.y) ** 2
+                              + (v1z - c1.z) ** 2), axis=0, keepdims=True)
+        r2 = jnp.max(jnp.sqrt((v2x - c2.x) ** 2 + (v2y - c2.y) ** 2
+                              + (v2z - c2.z) ** 2), axis=0, keepdims=True)
+        active = pnorm(c1 - c2) <= r1 + r2 + cfg.broadphase_tol
+    else:
+        active = jnp.ones((1, block), bool)
+
+    table_xyz = (table_ref[:, 0:1], table_ref[:, 1:2], table_ref[:, 2:3])
+
+    simplex, status, gjk_iters, sep = _gjk_phase(support, active, table_xyz,
+                                                 cfg, block)
+    hit = status == Status.HIT
+    depth, normal, epa_iters, epa_status = _epa_phase(support, simplex, hit,
+                                                      cfg, block)
+    status = jnp.where(hit, epa_status, status)
+
+    f = jnp.float32
+    out_ref[0:1, :] = jnp.where(hit, 1.0, 0.0).astype(f)
+    out_ref[1:2, :] = status.astype(f)
+    out_ref[2:3, :] = jnp.where(hit, depth, 0.0).astype(f)
+    out_ref[3:4, :] = jnp.where(hit, normal.x, 0.0).astype(f)
+    out_ref[4:5, :] = jnp.where(hit, normal.y, 0.0).astype(f)
+    out_ref[5:6, :] = jnp.where(hit, normal.z, 0.0).astype(f)
+    out_ref[6:7, :] = gjk_iters.astype(f)
+    out_ref[7:8, :] = epa_iters.astype(f)
+    out_ref[8:9, :] = sep.astype(f)
+    out_ref[9:16, :] = jnp.zeros((7, block), f)
+
+
+class FusedResult(NamedTuple):
+    hit: jnp.ndarray
+    status: jnp.ndarray
+    depth: jnp.ndarray
+    normal: jnp.ndarray      # (B, 3)
+    gjk_iters: jnp.ndarray
+    epa_iters: jnp.ndarray
+    distance: jnp.ndarray    # separation lower bound (miss lanes)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "use_broadphase",
+                                             "interpret"))
+def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128,
+                       use_broadphase: bool = True,
+                       interpret: bool = False) -> FusedResult:
+    """Fused-kernel batch query over hull pairs.
+
+    Args:
+      p1, p2: (B, N, 3) float32 vertex buffers; pad ragged hulls by
+        repeating a real vertex (utils.hull.pad_hulls).  B must be a
+        multiple of `block`.
+    Returns hit/status/depth/normal + iteration counters + miss-distance
+    lower bound.  Contact derivation (nearest points, contact point/type)
+    stays in the XLA ops; feed them `normal` if needed.
+    """
+    if cfg is None:
+        cfg = GJKEPAConfig.for_f32()
+    b, n1 = p1.shape[0], p1.shape[1]
+    n2 = p2.shape[1]
+    if b % block != 0:
+        raise ValueError(f"batch {b} not a multiple of block {block}")
+    nb = b // block
+    p1t = jnp.transpose(p1.reshape(nb, block, n1, 3), (0, 2, 3, 1))
+    p2t = jnp.transpose(p2.reshape(nb, block, n2, 3), (0, 2, 3, 1))
+
+    grid = (nb,)
+    out_shape = jax.ShapeDtypeStruct((nb, 16, block), jnp.float32)
+    in_specs = [
+        pl.BlockSpec((1, n1, 3, block), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n2, 3, block), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((100, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, 16, block), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kernel_wrap(p1r, p2r, tabr, outr):
+        # squeeze the leading grid-block dim of every ref view
+        _kernel(p1r.at[0], p2r.at[0], tabr, outr.at[0], cfg=cfg, block=block,
+                use_broadphase=use_broadphase)
+
+    out = pl.pallas_call(
+        kernel_wrap,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(p1t, p2t, jnp.asarray(DIRECTION_TABLE, jnp.float32))
+
+    def row(i):
+        return out[:, i, :].reshape(b)
+
+    return FusedResult(
+        hit=row(0) > 0.5,
+        status=row(1).astype(jnp.int32),
+        depth=row(2),
+        normal=jnp.stack([row(3), row(4), row(5)], axis=1),
+        gjk_iters=row(6).astype(jnp.int32),
+        epa_iters=row(7).astype(jnp.int32),
+        distance=row(8),
+    )

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "cross3",
+    "counting_argsort",
     "utzvec",
     "uninml",
     "dist_pf_sign",
@@ -131,7 +132,11 @@ def _polygon_crosses(xs, ys, px, py, valid, n_valid):
     k = xs.shape[0]
     idx = jnp.arange(k)
     nxt = jnp.where(idx + 1 >= n_valid, 0, idx + 1)
-    c = (xs[nxt] - xs) * (py - ys) - (ys[nxt] - ys) * (px - xs)
+    # cyclic successor via one-hot contraction (dynamic gathers serialize on TPU)
+    onehot = (nxt[:, None] == idx[None, :]).astype(xs.dtype)
+    xs_n = onehot @ xs
+    ys_n = onehot @ ys
+    c = (xs_n - xs) * (py - ys) - (ys_n - ys) * (px - xs)
     return jnp.where(valid, c, 0.0)
 
 
@@ -173,7 +178,11 @@ def is_inside_pf(
 # Face index table of the always-4-vertex simplex (ref idFc, :1227-1229):
 # face1=[1,3,4], face2=[1,2,4], face3=[1,2,3], face4=[2,3,4]  (1-based).
 # Vertex i lies on face i, which the reference exploits for orientation.
-SIMPLEX_FACES = jnp.array([[0, 2, 3], [0, 1, 3], [0, 1, 2], [1, 2, 3]], dtype=jnp.int32)
+import numpy as _np  # noqa: E402
+
+SIMPLEX_FACES_NP = _np.array([[0, 2, 3], [0, 1, 3], [0, 1, 2], [1, 2, 3]],
+                             dtype=_np.int32)
+SIMPLEX_FACES = jnp.array(SIMPLEX_FACES_NP)
 
 
 def point_in_simplex(p: jnp.ndarray, simplex: jnp.ndarray, eps_coincide: float = 1e-8,
@@ -186,17 +195,21 @@ def point_in_simplex(p: jnp.ndarray, simplex: jnp.ndarray, eps_coincide: float =
     """
     m = jnp.mean(simplex, axis=0)
 
-    def one_face(i):
-        f = SIMPLEX_FACES[i]
-        a, b, c = simplex[f[0]], simplex[f[1]], simplex[f[2]]
+    # statically unrolled over the 4 faces: all indices constant, so XLA
+    # emits slices instead of (TPU-slow) dynamic gathers
+    dists, on_face = [], []
+    for i in range(4):
+        f0, f1, f2 = (int(x) for x in SIMPLEX_FACES_NP[i])
+        a, b, c = simplex[f0], simplex[f1], simplex[f2]
         nml = utzvec(cross3(a - b, b - c), eps_zero)
         nml = jnp.where(jnp.dot(nml, simplex[i] - m) < 0.0, -nml, nml)
         dist = jnp.dot(simplex[i] - p, nml)
         on_plane = jnp.abs(dist) < eps_coincide
         inside2d = is_inside_pf(jnp.stack([a, b, c]), p, eps_zero=eps_zero)
-        return dist, on_plane & inside2d
-
-    dists, on_face = jax.vmap(one_face)(jnp.arange(4))
+        dists.append(dist)
+        on_face.append(on_plane & inside2d)
+    dists = jnp.stack(dists)
+    on_face = jnp.stack(on_face)
     return jnp.any(on_face) | jnp.all(dists > 0.0)
 
 
@@ -208,6 +221,21 @@ def overlap(points: jnp.ndarray, valid: jnp.ndarray | None = None,
     ref = points[0]
     diff = jnp.abs(points - ref) > eps
     return ~jnp.any(jnp.where(valid[:, None], diff, False))
+
+
+def counting_argsort(x: jnp.ndarray) -> jnp.ndarray:
+    """Stable argsort of a small 1-D array by rank counting.
+
+    O(n^2) vectorized compares instead of a sort network — on TPU, generic
+    sorts are far more expensive than n^2 VPU compares for the n <= ~128
+    arrays used here (support sets, polytope slots).
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n)
+    lt = x[None, :] < x[:, None]
+    eq_before = (x[None, :] == x[:, None]) & (idx[None, :] < idx[:, None])
+    rank = jnp.sum(lt | eq_before, axis=1)          # unique ranks, stable
+    return jnp.argmax(rank[None, :] == idx[:, None], axis=1)
 
 
 def sort_clock_indices(points: jnp.ndarray, n_valid: jnp.ndarray | int) -> jnp.ndarray:
@@ -235,6 +263,6 @@ def sort_clock_indices(points: jnp.ndarray, n_valid: jnp.ndarray | int) -> jnp.n
     ang = jnp.mod(jnp.arctan2(y, x) + two_pi, two_pi)
     ang = ang.at[0].set(-1.0)  # point 0 always first
     ang = jnp.where(valid, ang, jnp.inf)  # padding last
-    order = jnp.argsort(ang)
+    order = counting_argsort(ang)
     same = overlap(points, valid)
     return jnp.where(same, jnp.arange(k), order)

@@ -77,9 +77,12 @@ def update_simplex(support: Callable, simplex: jnp.ndarray) -> jnp.ndarray:
 
     normals, scores = jax.vmap(one_face)(_FACE_IDX)
     k = jnp.argmax(scores)
-    d = normals[k]
+    sel = (jnp.arange(4) == k)
+    d = jnp.sum(jnp.where(sel[:, None], normals, 0.0), axis=0)
     w = support(d).w
-    kept = simplex[_FACE_IDX[k]]
+    # kept face rows via static gather + one-hot select (no dynamic gather)
+    cands = simplex[_FACE_IDX]              # (4,3,3), static indices
+    kept = jnp.sum(jnp.where(sel[:, None, None], cands, 0.0), axis=0)
     return jnp.concatenate([kept, w[None, :]], axis=0), d, w
 
 
@@ -115,7 +118,8 @@ def run_gjk(support: Callable, cfg: GJKEPAConfig, dtype=jnp.float32,
 
     def init_body(c):
         it, _, _, sep = c
-        d = table[it % table.shape[0]]
+        sel = (jnp.arange(table.shape[0]) == it % table.shape[0])
+        d = jnp.sum(jnp.where(sel[:, None], table, 0.0), axis=0)
         r1 = support(d)
         r2 = support(-d)
         sep = _sep_bound(_sep_bound(sep, d, r1.w), -d, r2.w)

@@ -44,11 +44,15 @@ def hull_support_point(verts: jnp.ndarray, d: jnp.ndarray,
     """argmax_{v in verts} <d, v> over a padded vertex buffer.
 
     First index wins ties, matching the Fortran strict-> scan (ref :1040-1046).
+    The winning row is extracted with a first-max one-hot contraction rather
+    than a gather — batched gathers serialize on TPU, one-hot dots don't.
     """
     dots = verts @ d
     if mask is not None:
         dots = jnp.where(mask, dots, -jnp.inf)
-    return verts[jnp.argmax(dots)]
+    i = jnp.argmax(dots)  # first max, like the Fortran strict-> scan
+    onehot = (jnp.arange(verts.shape[0]) == i).astype(verts.dtype)
+    return onehot @ verts
 
 
 def minkowski_support_hulls(p1: jnp.ndarray, p2: jnp.ndarray, d: jnp.ndarray,

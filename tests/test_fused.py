@@ -1,0 +1,60 @@
+"""Fused Pallas kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gjkepa_tpu import GJKEPAConfig, gjkepa_batch
+from gjkepa_tpu.ops.fused import fused_gjkepa_hulls
+from tests.conftest import cube, random_hull
+
+CFG = GJKEPAConfig.for_f32()
+
+
+def _batch(rng, b, n, spread=0.8):
+    p1 = np.stack([random_hull(rng, n, center=rng.normal(size=3) * spread)
+                   for _ in range(b)]).astype(np.float32)
+    p2 = np.stack([random_hull(rng, n, center=rng.normal(size=3) * spread)
+                   for _ in range(b)]).astype(np.float32)
+    return jnp.asarray(p1), jnp.asarray(p2)
+
+
+def test_fused_matches_xla_path(rng):
+    p1, p2 = _batch(rng, 128, 12)
+    rf = fused_gjkepa_hulls(p1, p2, cfg=CFG, block=128, interpret=True)
+    rx = gjkepa_batch(p1, p2, cfg=CFG)
+    np.testing.assert_array_equal(np.asarray(rf.hit), np.asarray(rx.hit))
+    np.testing.assert_array_equal(np.asarray(rf.status), np.asarray(rx.status))
+    m = np.asarray(rf.hit)
+    assert m.sum() > 10
+    np.testing.assert_allclose(np.asarray(rf.depth)[m], np.asarray(rx.depth)[m],
+                               atol=1e-6)
+    # normals: same min face generically
+    dots = np.einsum("ij,ij->i", np.asarray(rf.normal)[m], np.asarray(rx.normal)[m])
+    assert (dots > 1.0 - 1e-5).mean() > 0.9
+    np.testing.assert_allclose(np.asarray(rf.distance), np.asarray(rx.distance),
+                               atol=1e-6)
+
+
+def test_fused_known_geometry():
+    c0 = cube([0, 0, 0]).astype(np.float32)
+    offsets = [0.3, 0.7, 1.2, 2.5] * 32
+    p1 = jnp.asarray(np.stack([c0] * 128))
+    p2 = jnp.asarray(np.stack([c0 + np.array([dx, 0, 0], np.float32)
+                               for dx in offsets]))
+    r = fused_gjkepa_hulls(p1, p2, cfg=CFG, block=128, interpret=True)
+    hit = np.asarray(r.hit)
+    depth = np.asarray(r.depth)
+    for i, dx in enumerate(offsets):
+        if dx < 1.0:
+            assert hit[i] and abs(depth[i] - (1.0 - dx)) < 1e-5, (i, dx, depth[i])
+        else:
+            assert not hit[i], (i, dx)
+
+
+def test_fused_rejects_bad_batch_size():
+    p = jnp.zeros((100, 8, 3), jnp.float32)
+    try:
+        fused_gjkepa_hulls(p, p, cfg=CFG, block=128, interpret=True)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
