@@ -60,8 +60,10 @@ class GJKEPAConfig:
         absolute ladder would never trigger, so degenerate-path detection
         needs looser thresholds.  Caps are unchanged.
         """
+        # caps are multiples of 8 so the fused Pallas kernel's (F, BLOCK)
+        # and (3F, BLOCK) buffers stay sublane-aligned (Mosaic requirement)
         return GJKEPAConfig(eps_coincide=1e-5, eps_zero=1e-8,
-                            epa_max_verts=40, epa_max_faces=76)
+                            epa_max_verts=40, epa_max_faces=80)
 
 
 DEFAULT_CONFIG = GJKEPAConfig()

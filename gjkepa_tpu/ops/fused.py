@@ -44,6 +44,11 @@ __all__ = ["fused_gjkepa_hulls", "FusedResult"]
 
 _RUNNING = -1
 
+# Init-retry directions, unrolled statically in-kernel (see _gjk_phase).
+_N_INIT_UNROLL = 8
+_TABLE_ROWS = tuple(tuple(float(x) for x in row)
+                    for row in DIRECTION_TABLE[:_N_INIT_UNROLL])
+
 
 class P3(NamedTuple):
     """A block of 3-vectors: three (1, BLOCK) lane arrays."""
@@ -217,51 +222,44 @@ def _gjk_phase(support, active, table_xyz, cfg: GJKEPAConfig, block):
     """
     eps = cfg.eps_coincide
     epz = cfg.eps_zero
-    tx, ty, tz = table_xyz                     # (100, 1) each
-    n_table = tx.shape[0]
-    t_iota = lax.broadcasted_iota(jnp.int32, (n_table, block), 0)
-
-    def table_dir(it):
-        sel = t_iota == (it % n_table)         # (100, BLOCK)
-        return P3(jnp.sum(jnp.where(sel, tx, 0.0), axis=0, keepdims=True),
-                  jnp.sum(jnp.where(sel, ty, 0.0), axis=0, keepdims=True),
-                  jnp.sum(jnp.where(sel, tz, 0.0), axis=0, keepdims=True))
-
+    table = table_xyz                          # (n_init_unroll, 3) python floats
     zero = pzero(block)
     sep0 = jnp.zeros((1, block), jnp.float32)
 
     def sep_upd(sep, d, w, run):
         return jnp.where(run, jnp.maximum(sep, -pdot(w, d)), sep)
 
-    # --- v1/v2 retry loop (ref :82-112) --------------------------------
-    def init_cond(c):
-        return jnp.sum(c["run"]) > 0  # run is int32
+    def const_dir(i):
+        tx, ty, tz = table[i]
+        one = jnp.ones((1, block), jnp.float32)
+        return P3(one * tx, one * ty, one * tz)
 
-    def init_body(c):
-        run = c["run"] > 0
-        d = table_dir(c["it"])
+    # --- v1/v2 retry, statically unrolled (ref :82-112) -----------------
+    # The reference retries up to 99 table directions while the +/- supports
+    # coincide.  In the fused kernel the retry is unrolled over the first
+    # n_init_unroll table rows as straight-line masked code (a loop-carried
+    # table lookup trips Mosaic's layout inference); coincidence past that
+    # many distinct directions means a degenerate (lower-dimensional)
+    # Minkowski difference, classified MISS_INIT exactly like the
+    # reference's exhausted-retries branch (:86-89).  The XLA path keeps
+    # the full 99-retry semantics.
+    s1, s2, sep = zero, zero, sep0
+    run = active
+    for i in range(len(table)):
+        d = const_dir(i)
         w1 = support(d)
         w2 = support(-d)
-        s1 = pwhere(run, w1, c["s1"])
-        s2 = pwhere(run, w2, c["s2"])
-        sep = sep_upd(sep_upd(c["sep"], d, w1, run), -d, w2, run)
-        it = jnp.where(run, c["it"] + 1, c["it"])
-        runn = run & pcoincide(s1, s2, eps) & (it < cfg.init_max_iters)
-        return {"it": it, "s1": s1, "s2": s2,
-                "run": jnp.where(runn, jnp.int32(1), jnp.int32(0)), "sep": sep}
-
-    init = {"it": jnp.zeros((1, block), jnp.int32), "s1": zero, "s2": zero,
-            "run": jnp.where(active, jnp.int32(1), jnp.int32(0)), "sep": sep0}
-    st = lax.while_loop(init_cond, init_body, init)
-    s1, s2, sep = st["s1"], st["s2"], st["sep"]
+        s1 = pwhere(run, w1, s1)
+        s2 = pwhere(run, w2, s2)
+        sep = sep_upd(sep_upd(sep, d, w1, run), -d, w2, run)
+        run = run & pcoincide(s1, s2, eps)
     init_failed = pcoincide(s1, s2, eps)
 
     # --- v3 (ref :115-127) + origin-on-segment robustness fix ----------
     d3 = _vec_pl(zero, s1, s2, epz)
     seg = s2 - s1
-    it0 = jnp.zeros((1, block), jnp.int32)
-    alt = putz(pcross(seg, table_dir(it0)), epz)
-    alt2 = putz(pcross(seg, table_dir(it0 + 1)), epz)
+    alt = putz(pcross(seg, const_dir(0)), epz)
+    alt2 = putz(pcross(seg, const_dir(1)), epz)
     alt = pwhere(pdot(alt, alt) > 0.0, alt, alt2)
     d3 = pwhere(pdot(d3, d3) > 0.0, d3, alt)
     s3 = support(d3)
@@ -575,9 +573,9 @@ def _epa_phase(support, simplex, active, cfg: GJKEPAConfig, block):
     return depth, normal, out["it"], status
 
 
-def _kernel(p1_ref, p2_ref, table_ref, out_ref, *, cfg: GJKEPAConfig, block: int,
+def _kernel(p1_ref, p2_ref, out_ref, *, cfg: GJKEPAConfig, block: int,
             use_broadphase: bool):
-    # refs: p*_ref (N, 3, BLOCK) f32; table_ref (100, 3) f32;
+    # refs: p*_ref (N, 3, BLOCK) f32;
     # out_ref (16, BLOCK) f32 packed rows:
     #   0 hit, 1 status, 2 depth, 3-5 normal xyz, 6 gjk_iters, 7 epa_iters,
     #   8 sep_lb (ints exact in f32; unpacked by the wrapper)
@@ -606,9 +604,7 @@ def _kernel(p1_ref, p2_ref, table_ref, out_ref, *, cfg: GJKEPAConfig, block: int
     else:
         active = jnp.ones((1, block), bool)
 
-    table_xyz = (table_ref[:, 0:1], table_ref[:, 1:2], table_ref[:, 2:3])
-
-    simplex, status, gjk_iters, sep = _gjk_phase(support, active, table_xyz,
+    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
                                                  cfg, block)
     hit = status == Status.HIT
     depth, normal, epa_iters, epa_status = _epa_phase(support, simplex, hit,
@@ -655,6 +651,13 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128
     """
     if cfg is None:
         cfg = GJKEPAConfig.for_f32()
+    # Mosaic needs sublane-aligned (F, BLOCK)/(3F, BLOCK) buffers: round the
+    # EPA caps up to multiples of 8 (a larger cap only allows more
+    # expansion; converged results are unchanged).
+    rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+    if cfg.epa_max_verts % 8 or cfg.epa_max_faces % 8:
+        cfg = cfg.replace(epa_max_verts=rup(cfg.epa_max_verts),
+                          epa_max_faces=rup(cfg.epa_max_faces))
     b, n1 = p1.shape[0], p1.shape[1]
     n2 = p2.shape[1]
     if b % block != 0:
@@ -670,14 +673,13 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n2, 3, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((100, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = pl.BlockSpec((1, 16, block), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
 
-    def kernel_wrap(p1r, p2r, tabr, outr):
+    def kernel_wrap(p1r, p2r, outr):
         # squeeze the leading grid-block dim of every ref view
-        _kernel(p1r.at[0], p2r.at[0], tabr, outr.at[0], cfg=cfg, block=block,
+        _kernel(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg, block=block,
                 use_broadphase=use_broadphase)
 
     out = pl.pallas_call(
@@ -687,7 +689,7 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-    )(p1t, p2t, jnp.asarray(DIRECTION_TABLE, jnp.float32))
+    )(p1t, p2t)
 
     def row(i):
         return out[:, i, :].reshape(b)
