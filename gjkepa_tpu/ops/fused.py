@@ -40,7 +40,7 @@ from ..config import GJKEPAConfig
 from ..types import Status
 from .directions import DIRECTION_TABLE
 
-__all__ = ["fused_gjkepa_hulls", "FusedResult"]
+__all__ = ["fused_gjkepa_hulls", "fused_gjkepa_shapes", "FusedResult"]
 
 _RUNNING = -1
 
@@ -573,55 +573,82 @@ def _epa_phase(support, simplex, active, cfg: GJKEPAConfig, block):
     return depth, normal, out["it"], status
 
 
-def _kernel(p1_ref, p2_ref, out_ref, *, cfg: GJKEPAConfig, block: int,
-            use_broadphase: bool):
-    # refs: p*_ref (N, 3, BLOCK) f32;
-    # out_ref (16, BLOCK) f32 packed rows:
-    #   0 hit, 1 status, 2 depth, 3-5 normal xyz, 6 gjk_iters, 7 epa_iters,
-    #   8 sep_lb (ints exact in f32; unpacked by the wrapper)
+def _hull_broadphase(v1x, v1y, v1z, v2x, v2y, v2z, tol):
+    c1 = P3(jnp.mean(v1x, axis=0, keepdims=True),
+            jnp.mean(v1y, axis=0, keepdims=True),
+            jnp.mean(v1z, axis=0, keepdims=True))
+    c2 = P3(jnp.mean(v2x, axis=0, keepdims=True),
+            jnp.mean(v2y, axis=0, keepdims=True),
+            jnp.mean(v2z, axis=0, keepdims=True))
+    r1 = jnp.max(jnp.sqrt((v1x - c1.x) ** 2 + (v1y - c1.y) ** 2
+                          + (v1z - c1.z) ** 2), axis=0, keepdims=True)
+    r2 = jnp.max(jnp.sqrt((v2x - c2.x) ** 2 + (v2y - c2.y) ** 2
+                          + (v2z - c2.z) ** 2), axis=0, keepdims=True)
+    return pnorm(c1 - c2) <= r1 + r2 + tol
+
+
+def _hull_views(p1_ref, p2_ref, block):
     n1 = p1_ref.shape[0]
     n2 = p2_ref.shape[0]
-    v1x, v1y, v1z = p1_ref[:, 0, :], p1_ref[:, 1, :], p1_ref[:, 2, :]
-    v2x, v2y, v2z = p2_ref[:, 0, :], p2_ref[:, 1, :], p2_ref[:, 2, :]
+    v1 = (p1_ref[:, 0, :], p1_ref[:, 1, :], p1_ref[:, 2, :])
+    v2 = (p2_ref[:, 0, :], p2_ref[:, 1, :], p2_ref[:, 2, :])
     iota1 = lax.broadcasted_iota(jnp.int32, (n1, block), 0)
     iota2 = lax.broadcasted_iota(jnp.int32, (n2, block), 0)
+    support = _make_hull_support(*v1, *v2, iota1, iota2)
+    return support, v1, v2
 
-    support = _make_hull_support(v1x, v1y, v1z, v2x, v2y, v2z, iota1, iota2)
 
-    # broadphase (ref :1165-1188)
-    if use_broadphase:
-        c1 = P3(jnp.mean(v1x, axis=0, keepdims=True),
-                jnp.mean(v1y, axis=0, keepdims=True),
-                jnp.mean(v1z, axis=0, keepdims=True))
-        c2 = P3(jnp.mean(v2x, axis=0, keepdims=True),
-                jnp.mean(v2y, axis=0, keepdims=True),
-                jnp.mean(v2z, axis=0, keepdims=True))
-        r1 = jnp.max(jnp.sqrt((v1x - c1.x) ** 2 + (v1y - c1.y) ** 2
-                              + (v1z - c1.z) ** 2), axis=0, keepdims=True)
-        r2 = jnp.max(jnp.sqrt((v2x - c2.x) ** 2 + (v2y - c2.y) ** 2
-                              + (v2z - c2.z) ** 2), axis=0, keepdims=True)
-        active = pnorm(c1 - c2) <= r1 + r2 + cfg.broadphase_tol
-    else:
-        active = jnp.ones((1, block), bool)
-
-    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
-                                                 cfg, block)
-    hit = status == Status.HIT
-    depth, normal, epa_iters, epa_status = _epa_phase(support, simplex, hit,
-                                                      cfg, block)
-    status = jnp.where(hit, epa_status, status)
-
+def _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex):
+    # rows: 0 hit, 1 status, 2 gjk_iters, 3 sep, 4..15 simplex xyz*4
     f = jnp.float32
+    hit = status == Status.HIT
     out_ref[0:1, :] = jnp.where(hit, 1.0, 0.0).astype(f)
     out_ref[1:2, :] = status.astype(f)
-    out_ref[2:3, :] = jnp.where(hit, depth, 0.0).astype(f)
-    out_ref[3:4, :] = jnp.where(hit, normal.x, 0.0).astype(f)
-    out_ref[4:5, :] = jnp.where(hit, normal.y, 0.0).astype(f)
-    out_ref[5:6, :] = jnp.where(hit, normal.z, 0.0).astype(f)
-    out_ref[6:7, :] = gjk_iters.astype(f)
-    out_ref[7:8, :] = epa_iters.astype(f)
-    out_ref[8:9, :] = sep.astype(f)
-    out_ref[9:16, :] = jnp.zeros((7, block), f)
+    out_ref[2:3, :] = gjk_iters.astype(f)
+    out_ref[3:4, :] = sep.astype(f)
+    for i in range(4):
+        out_ref[4 + 3 * i:5 + 3 * i, :] = simplex[i].x
+        out_ref[5 + 3 * i:6 + 3 * i, :] = simplex[i].y
+        out_ref[6 + 3 * i:7 + 3 * i, :] = simplex[i].z
+    out_ref[16:24, :] = jnp.zeros((8, block), f)
+
+
+def _read_simplex(gin_ref):
+    return tuple(
+        P3(gin_ref[4 + 3 * i:5 + 3 * i, :], gin_ref[5 + 3 * i:6 + 3 * i, :],
+           gin_ref[6 + 3 * i:7 + 3 * i, :])
+        for i in range(4))
+
+
+def _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status):
+    f = jnp.float32
+    out_ref[0:1, :] = jnp.where(active, depth, 0.0).astype(f)
+    out_ref[1:2, :] = jnp.where(active, normal.x, 0.0).astype(f)
+    out_ref[2:3, :] = jnp.where(active, normal.y, 0.0).astype(f)
+    out_ref[3:4, :] = jnp.where(active, normal.z, 0.0).astype(f)
+    out_ref[4:5, :] = epa_iters.astype(f)
+    out_ref[5:6, :] = status.astype(f)
+    out_ref[6:8, :] = jnp.zeros((2, block), f)
+
+
+def _gjk_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, use_broadphase):
+    support, v1, v2 = _hull_views(p1_ref, p2_ref, block)
+    if use_broadphase:
+        active = _hull_broadphase(*v1, *v2, cfg.broadphase_tol)
+    else:
+        active = jnp.ones((1, block), bool)
+    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
+                                                 cfg, block)
+    _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
+
+
+def _epa_kernel_hulls(p1_ref, p2_ref, gin_ref, out_ref, *, cfg, block):
+    support, _, _ = _hull_views(p1_ref, p2_ref, block)
+    active = gin_ref[0:1, :] > 0.5
+    simplex = _read_simplex(gin_ref)
+    depth, normal, epa_iters, status = _epa_phase(support, simplex, active,
+                                                  cfg, block)
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
 class FusedResult(NamedTuple):
@@ -634,30 +661,110 @@ class FusedResult(NamedTuple):
     distance: jnp.ndarray    # separation lower bound (miss lanes)
 
 
+def _round_cfg(cfg):
+    """Mosaic needs sublane-aligned (F, BLOCK)/(3F, BLOCK) buffers: round
+    the EPA caps up to multiples of 8 (a larger cap only allows more
+    expansion; converged results are unchanged)."""
+    if cfg is None:
+        cfg = GJKEPAConfig.for_f32()
+    rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+    if cfg.epa_max_verts % 8 or cfg.epa_max_faces % 8:
+        cfg = cfg.replace(epa_max_verts=rup(cfg.epa_max_verts),
+                          epa_max_faces=rup(cfg.epa_max_faces))
+    return cfg
+
+
+def _vecspec(rows, block):
+    return pl.BlockSpec((1, rows, block), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
+                   interpret, sort_hits):
+    """Shared two-phase driver.
+
+    Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
+    hit-compacted order: pairs are permuted so hit lanes occupy the leading
+    blocks, letting the per-block EPA while-loop exit immediately for the
+    (typically vast) miss majority.  Outputs are scattered back.
+    `geom_arrays` are the pre-transposed per-pair geometry inputs whose
+    leading dim is nb and whose LAST dim is the lane (pair) dim.
+    """
+    nb = b // block
+
+    gout = pl.pallas_call(
+        gjk_kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((nb, 24, block), jnp.float32),
+        in_specs=list(geom_specs),
+        out_specs=_vecspec(24, block),
+        interpret=interpret,
+    )(*geom_arrays)
+
+    gflat = jnp.transpose(gout, (0, 2, 1)).reshape(b, 24)   # (B, 24)
+    hit = gflat[:, 0] > 0.5
+
+    if sort_hits:
+        order = jnp.argsort(~hit, stable=True)              # hits first
+        inv = jnp.argsort(order, stable=True)
+    else:
+        order = inv = jnp.arange(b)
+
+    def permute_geom(arr):
+        # (nb, ..., block) -> flat pair-major -> permuted -> back
+        shp = arr.shape
+        flat = jnp.moveaxis(arr, -1, 1).reshape((b,) + shp[1:-1])
+        flat = flat[order]
+        return jnp.moveaxis(flat.reshape((nb, block) + shp[1:-1]), 1, -1)
+
+    geom_p = tuple(permute_geom(a) for a in geom_arrays)
+    gin = jnp.transpose(gflat[order].reshape(nb, block, 24), (0, 2, 1))
+
+    eout = pl.pallas_call(
+        epa_kernel,
+        grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, block), jnp.float32),
+        in_specs=list(geom_specs) + [_vecspec(24, block)],
+        out_specs=_vecspec(8, block),
+        interpret=interpret,
+    )(*geom_p, gin)
+
+    eflat = jnp.transpose(eout, (0, 2, 1)).reshape(b, 8)[inv]  # natural order
+
+    status = gflat[:, 1].astype(jnp.int32)
+    epa_status = eflat[:, 5].astype(jnp.int32)
+    status = jnp.where(hit, epa_status, status)
+    return FusedResult(
+        hit=hit,
+        status=status,
+        depth=eflat[:, 0],
+        normal=eflat[:, 1:4],
+        gjk_iters=gflat[:, 2].astype(jnp.int32),
+        epa_iters=eflat[:, 4].astype(jnp.int32),
+        distance=gflat[:, 3],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "use_broadphase",
-                                             "interpret"))
+                                             "interpret", "sort_hits"))
 def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128,
-                       use_broadphase: bool = True,
-                       interpret: bool = False) -> FusedResult:
-    """Fused-kernel batch query over hull pairs.
+                       use_broadphase: bool = True, interpret: bool = False,
+                       sort_hits: bool = True) -> FusedResult:
+    """Fused-kernel batch query over hull pairs (two-phase dispatch).
 
     Args:
       p1, p2: (B, N, 3) float32 vertex buffers; pad ragged hulls by
         repeating a real vertex (utils.hull.pad_hulls).  B must be a
         multiple of `block`.
+      sort_hits: permute pairs between the GJK and EPA kernels so hit lanes
+        share blocks — EPA cost then scales with the number of HITS, not
+        the batch size.
+
     Returns hit/status/depth/normal + iteration counters + miss-distance
     lower bound.  Contact derivation (nearest points, contact point/type)
     stays in the XLA ops; feed them `normal` if needed.
     """
-    if cfg is None:
-        cfg = GJKEPAConfig.for_f32()
-    # Mosaic needs sublane-aligned (F, BLOCK)/(3F, BLOCK) buffers: round the
-    # EPA caps up to multiples of 8 (a larger cap only allows more
-    # expansion; converged results are unchanged).
-    rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
-    if cfg.epa_max_verts % 8 or cfg.epa_max_faces % 8:
-        cfg = cfg.replace(epa_max_verts=rup(cfg.epa_max_verts),
-                          epa_max_faces=rup(cfg.epa_max_faces))
+    cfg = _round_cfg(cfg)
     b, n1 = p1.shape[0], p1.shape[1]
     n2 = p2.shape[1]
     if b % block != 0:
@@ -666,40 +773,144 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128
     p1t = jnp.transpose(p1.reshape(nb, block, n1, 3), (0, 2, 3, 1))
     p2t = jnp.transpose(p2.reshape(nb, block, n2, 3), (0, 2, 3, 1))
 
-    grid = (nb,)
-    out_shape = jax.ShapeDtypeStruct((nb, 16, block), jnp.float32)
-    in_specs = [
+    specs = (
         pl.BlockSpec((1, n1, 3, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n2, 3, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-    ]
-    out_specs = pl.BlockSpec((1, 16, block), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    def kernel_wrap(p1r, p2r, outr):
-        # squeeze the leading grid-block dim of every ref view
-        _kernel(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg, block=block,
-                use_broadphase=use_broadphase)
-
-    out = pl.pallas_call(
-        kernel_wrap,
-        grid=grid,
-        out_shape=out_shape,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-    )(p1t, p2t)
-
-    def row(i):
-        return out[:, i, :].reshape(b)
-
-    return FusedResult(
-        hit=row(0) > 0.5,
-        status=row(1).astype(jnp.int32),
-        depth=row(2),
-        normal=jnp.stack([row(3), row(4), row(5)], axis=1),
-        gjk_iters=row(6).astype(jnp.int32),
-        epa_iters=row(7).astype(jnp.int32),
-        distance=row(8),
     )
+
+    def gjk_wrap(p1r, p2r, outr):
+        _gjk_kernel_hulls(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg,
+                          block=block, use_broadphase=use_broadphase)
+
+    def epa_wrap(p1r, p2r, ginr, outr):
+        _epa_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0], outr.at[0],
+                          cfg=cfg, block=block)
+
+    return _run_two_phase(gjk_wrap, epa_wrap, (p1t, p2t), specs, b, block,
+                          interpret, sort_hits)
+
+
+# ---------------------------------------------------------------------------
+# Analytic-shape mode (BASELINE config 3): closed-form supports in-kernel.
+# Each shape is packed as 16 rows of f32:
+#   [kind, p0, p1, p2, pos.x, pos.y, pos.z, r00..r22]  (kind exact in f32)
+# ---------------------------------------------------------------------------
+
+
+def _make_shape_support(sa, sb):
+    """Minkowski support over two packed analytic shape blocks (16, BLOCK)."""
+
+    def one_side(s, d: P3):
+        kind = s[0:1, :]
+        p0, p1, p2 = s[1:2, :], s[2:3, :], s[3:4, :]
+        tx, ty, tz = s[4:5, :], s[5:6, :], s[6:7, :]
+        r00, r01, r02 = s[7:8, :], s[8:9, :], s[9:10, :]
+        r10, r11, r12 = s[10:11, :], s[11:12, :], s[12:13, :]
+        r20, r21, r22 = s[13:14, :], s[14:15, :], s[15:16, :]
+        # d_local = R^T d
+        dl = P3(r00 * d.x + r10 * d.y + r20 * d.z,
+                r01 * d.x + r11 * d.y + r21 * d.z,
+                r02 * d.x + r12 * d.y + r22 * d.z)
+        # sphere: radius p0 * unit(dl)
+        n = pnorm(dl)
+        inv = jnp.where(n > 1e-20, 1.0 / jnp.where(n > 1e-20, n, 1.0), 0.0)
+        sph = pscale(dl, inv * p0)
+        # box: sign(dl) * half extents (p0,p1,p2)
+        box = P3(jnp.where(dl.x >= 0.0, p0, -p0),
+                 jnp.where(dl.y >= 0.0, p1, -p1),
+                 jnp.where(dl.z >= 0.0, p2, -p2))
+        # capsule: radius p0 * unit(dl) + (0,0,+-p1)
+        cap_end = jnp.where(dl.z >= 0.0, p1, -p1)
+        cap = P3(sph.x, sph.y, sph.z + cap_end)
+        # cylinder: rim p0*unit(dl.xy) + (0,0,+-p1)
+        np_ = jnp.sqrt(dl.x * dl.x + dl.y * dl.y)
+        invp = jnp.where(np_ > 1e-20, 1.0 / jnp.where(np_ > 1e-20, np_, 1.0), 0.0)
+        cyl = P3(p0 * dl.x * invp, p0 * dl.y * invp, cap_end)
+        # select by kind (0 sphere, 1 box, 2 capsule, 3 cylinder)
+        sl = pwhere(kind < 0.5, sph,
+                    pwhere(kind < 1.5, box,
+                           pwhere(kind < 2.5, cap, cyl)))
+        # world = R s + t
+        return P3(r00 * sl.x + r01 * sl.y + r02 * sl.z + tx,
+                  r10 * sl.x + r11 * sl.y + r12 * sl.z + ty,
+                  r20 * sl.x + r21 * sl.y + r22 * sl.z + tz)
+
+    def support(d: P3) -> P3:
+        return one_side(sa, d) - one_side(sb, -d)
+
+    return support
+
+
+def _shape_broadphase(sa, sb, tol):
+    def radius(s):
+        kind = s[0:1, :]
+        p0, p1, p2 = s[1:2, :], s[2:3, :], s[3:4, :]
+        rbox = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
+        return jnp.where(kind < 0.5, p0,
+                         jnp.where(kind < 1.5, rbox, p0 + p1))
+
+    ca = P3(sa[4:5, :], sa[5:6, :], sa[6:7, :])
+    cb = P3(sb[4:5, :], sb[5:6, :], sb[6:7, :])
+    return pnorm(ca - cb) <= radius(sa) + radius(sb) + tol
+
+
+def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
+    sa = sa_ref[:, :]
+    sb = sb_ref[:, :]
+    support = _make_shape_support(sa, sb)
+    active = _shape_broadphase(sa, sb, cfg.broadphase_tol)
+    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
+                                                 cfg, block)
+    _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
+
+
+def _epa_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block):
+    support = _make_shape_support(sa_ref[:, :], sb_ref[:, :])
+    active = gin_ref[0:1, :] > 0.5
+    simplex = _read_simplex(gin_ref)
+    depth, normal, epa_iters, status = _epa_phase(support, simplex, active,
+                                                  cfg, block)
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
+
+
+def _pack_shapes(batch, nb, block):
+    """ShapeBatch -> (nb, 16, block) f32 packed rows."""
+    kind = batch.kind.astype(jnp.float32)[:, None]
+    params = batch.params.astype(jnp.float32)
+    pos = batch.pos.astype(jnp.float32)
+    rot = batch.rot.astype(jnp.float32).reshape(-1, 9)
+    packed = jnp.concatenate([kind, params, pos, rot], axis=1)   # (B, 16)
+    return jnp.transpose(packed.reshape(nb, block, 16), (0, 2, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret",
+                                             "sort_hits"))
+def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
+                        interpret: bool = False,
+                        sort_hits: bool = True) -> FusedResult:
+    """Fused-kernel batch query over analytic shape pairs (ShapeBatch pair).
+
+    Same output surface and two-phase dispatch as fused_gjkepa_hulls;
+    broadphase uses conservative per-shape bounding radii.
+    """
+    cfg = _round_cfg(cfg)
+    bsz = a.kind.shape[0]
+    if bsz % block != 0:
+        raise ValueError(f"batch {bsz} not a multiple of block {block}")
+    nb = bsz // block
+    sa = _pack_shapes(a, nb, block)
+    sb = _pack_shapes(b, nb, block)
+    specs = (_vecspec(16, block), _vecspec(16, block))
+
+    def gjk_wrap(sar, sbr, outr):
+        _gjk_kernel_shapes(sar.at[0], sbr.at[0], outr.at[0], cfg=cfg,
+                           block=block)
+
+    def epa_wrap(sar, sbr, ginr, outr):
+        _epa_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0], outr.at[0],
+                           cfg=cfg, block=block)
+
+    return _run_two_phase(gjk_wrap, epa_wrap, (sa, sb), specs, bsz, block,
+                          interpret, sort_hits)

@@ -96,8 +96,8 @@ def init_boxes(n: int, seed: int = 0, spread: float = 12.0, height: float = 10.0
                     angvel=jnp.zeros((n, 3), dtype), half=half)
 
 
-def _pair_contacts(state: SimState, rot, pairs, valid, cfg: GJKEPAConfig):
-    """Batched GJK/EPA over candidate box pairs (analytic box supports)."""
+def _pair_contacts_xla(state: SimState, rot, pairs, valid, cfg: GJKEPAConfig):
+    """Portable narrowphase: vmapped XLA GJK/EPA over analytic box supports."""
     dtype = state.pos.dtype
 
     def one(i, j, active):
@@ -112,6 +112,60 @@ def _pair_contacts(state: SimState, rot, pairs, valid, cfg: GJKEPAConfig):
         return g.hit, e.depth, e.normal, point
 
     return jax.vmap(one)(pairs[:, 0], pairs[:, 1], valid)
+
+
+def _pair_contacts(state: SimState, rot, pairs, valid, cfg: GJKEPAConfig):
+    """Batched GJK/EPA over candidate box pairs.
+
+    On TPU, boxes enter the fused Pallas hull kernel as their 8 world-space
+    corners (the pair list is padded to the kernel block size); the contact
+    point is then recovered from the analytic box supports along the EPA
+    normal (witness midpoint).  Other backends use the portable XLA path.
+    """
+    if jax.default_backend() != "tpu":
+        return _pair_contacts_xla(state, rot, pairs, valid, cfg)
+
+    from ..ops.fused import fused_gjkepa_hulls  # deferred import
+
+    dtype = state.pos.dtype
+    block = 128
+    p = pairs.shape[0]
+    pad = (-p) % block
+    if pad:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((pad, 2), pairs.dtype)], axis=0)
+        valid_k = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    else:
+        valid_k = valid
+
+    signs = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                       for sz in (-1, 1)], dtype)  # (8,3)
+
+    def corners(idx):
+        h = state.half[idx]                     # (P,3)
+        r = rot[idx]                            # (P,3,3)
+        t = state.pos[idx]                      # (P,3)
+        local = signs[None, :, :] * h[:, None, :]           # (P,8,3)
+        return jnp.einsum("pij,pkj->pki", r, local) + t[:, None, :]
+
+    i_all, j_all = pairs[:, 0], pairs[:, 1]
+    res = fused_gjkepa_hulls(corners(i_all), corners(j_all), cfg=cfg,
+                             block=block, use_broadphase=True)
+    hit = res.hit[:p] & valid
+    normal = res.normal[:p]
+    i_idx, j_idx = i_all[:p], j_all[:p]
+
+    # witness midpoint via analytic box supports along the EPA normal
+    def witness(i, j, n):
+        sup = make_shape_pair_support(
+            jnp.int32(BOX), state.half[i], state.pos[i], rot[i],
+            jnp.int32(BOX), state.half[j], state.pos[j], rot[j],
+        )
+        s = sup(n)
+        return 0.5 * (s.a + s.b)
+
+    point = jax.vmap(witness)(i_idx, j_idx, normal)
+    return hit, res.depth[:p], normal, point
 
 
 @functools.partial(jax.jit, static_argnames=("scfg", "cfg"))
