@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -701,7 +702,7 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
         interpret=interpret,
     )(*geom_arrays)
 
-    gflat = jnp.transpose(gout, (0, 2, 1)).reshape(b, 24)   # (B, 24)
+    gflat = jnp.swapaxes(gout, 1, 2).reshape(b, 24)          # (B, 24)
     hit = gflat[:, 0] > 0.5
 
     if sort_hits:
@@ -711,14 +712,18 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
         order = inv = jnp.arange(b)
 
     def permute_geom(arr):
-        # (nb, ..., block) -> flat pair-major -> permuted -> back
+        # (nb, *feat, block) -> flat pair-major -> permuted -> back.
+        # All reshapes/permutes go through 2-D swapaxes: XLA's 4-D
+        # transposes with a tiny inner dim run ~70x slower on TPU.
         shp = arr.shape
-        flat = jnp.moveaxis(arr, -1, 1).reshape((b,) + shp[1:-1])
+        feat = int(np.prod(shp[1:-1]))
+        flat = jnp.swapaxes(arr.reshape(nb, feat, block), 1, 2).reshape(b, feat)
         flat = flat[order]
-        return jnp.moveaxis(flat.reshape((nb, block) + shp[1:-1]), 1, -1)
+        back = jnp.swapaxes(flat.reshape(nb, block, feat), 1, 2)
+        return back.reshape(shp)
 
     geom_p = tuple(permute_geom(a) for a in geom_arrays)
-    gin = jnp.transpose(gflat[order].reshape(nb, block, 24), (0, 2, 1))
+    gin = jnp.swapaxes(gflat[order].reshape(nb, block, 24), 1, 2)
 
     eout = pl.pallas_call(
         epa_kernel,
@@ -729,7 +734,7 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
         interpret=interpret,
     )(*geom_p, gin)
 
-    eflat = jnp.transpose(eout, (0, 2, 1)).reshape(b, 8)[inv]  # natural order
+    eflat = jnp.swapaxes(eout, 1, 2).reshape(b, 8)[inv]       # natural order
 
     status = gflat[:, 1].astype(jnp.int32)
     epa_status = eflat[:, 5].astype(jnp.int32)
@@ -770,8 +775,12 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128
     if b % block != 0:
         raise ValueError(f"batch {b} not a multiple of block {block}")
     nb = b // block
-    p1t = jnp.transpose(p1.reshape(nb, block, n1, 3), (0, 2, 3, 1))
-    p2t = jnp.transpose(p2.reshape(nb, block, n2, 3), (0, 2, 3, 1))
+    # 2-D swap instead of a 4-D transpose (tiny-inner-dim transposes are
+    # pathologically slow on TPU: 48ms vs 0.7ms at 4k x 64 verts)
+    p1t = jnp.swapaxes(p1.reshape(nb, block, n1 * 3), 1, 2).reshape(
+        nb, n1, 3, block)
+    p2t = jnp.swapaxes(p2.reshape(nb, block, n2 * 3), 1, 2).reshape(
+        nb, n2, 3, block)
 
     specs = (
         pl.BlockSpec((1, n1, 3, block), lambda i: (i, 0, 0, 0),
@@ -882,7 +891,7 @@ def _pack_shapes(batch, nb, block):
     pos = batch.pos.astype(jnp.float32)
     rot = batch.rot.astype(jnp.float32).reshape(-1, 9)
     packed = jnp.concatenate([kind, params, pos, rot], axis=1)   # (B, 16)
-    return jnp.transpose(packed.reshape(nb, block, 16), (0, 2, 1))
+    return jnp.swapaxes(packed.reshape(nb, block, 16), 1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret",
