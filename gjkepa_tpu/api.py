@@ -32,8 +32,31 @@ from .ops.gjk import run_gjk
 from .ops.support import make_hull_support
 from .types import CollisionResult, Status
 
-__all__ = ["gjkepa", "gjkepa_batch", "collide_supports", "collide_shapes_batch",
-           "gjk_distance_batch"]
+__all__ = ["gjkepa", "gjkepa_batch", "gjkepa_batch_fused", "collide_supports",
+           "collide_shapes_batch", "gjk_distance_batch", "derive_contact"]
+
+
+def derive_contact(p1, p2, epa_normal, cfg: GJKEPAConfig,
+                   mask1=None, mask2=None):
+    """Contact post-processing from the EPA normal (version dispatch,
+    ref :329-343): nearest points, contact point, (possibly rewritten)
+    normal, contact type."""
+    npts = contact.nearest_points(p1, p2, epa_normal, mask1, mask2)
+    if cfg.version == 1:
+        cpoint = contact.collision_point_v1(p1, p2, epa_normal, cfg, mask1, mask2)
+        normal = epa_normal
+    elif cfg.version == 2:
+        cpoint = contact.collision_point_v2(p1, p2, epa_normal, cfg, mask1, mask2)
+        normal = epa_normal
+    elif cfg.version == 3:
+        cpoint, normal = contact.collision_point_v3(p1, p2, epa_normal, cfg,
+                                                    mask1, mask2)
+    else:
+        raise ValueError(f"unknown contact-point version {cfg.version!r} "
+                         "(reference supports 1, 2, 3; ref :329-340)")
+    ctype = contact.collision_type(p1, p2, normal, cfg.face_contact_tol,
+                                   mask1, mask2)
+    return npts, cpoint, normal, ctype
 
 
 def _zero_result_like(dtype) -> dict:
@@ -74,21 +97,8 @@ def gjkepa(
 
     g = run_gjk(support, cfg, dtype=dtype, active=active)
     e = run_epa(support, g.simplex, g.hit, cfg)
-
-    # Contact derivation (only meaningful on hit; selected below).
-    npts = contact.nearest_points(p1, p2, e.normal, mask1, mask2)
-    if cfg.version == 1:
-        cpoint = contact.collision_point_v1(p1, p2, e.normal, cfg, mask1, mask2)
-        normal = e.normal
-    elif cfg.version == 2:
-        cpoint = contact.collision_point_v2(p1, p2, e.normal, cfg, mask1, mask2)
-        normal = e.normal
-    elif cfg.version == 3:
-        cpoint, normal = contact.collision_point_v3(p1, p2, e.normal, cfg, mask1, mask2)
-    else:
-        raise ValueError(f"unknown contact-point version {cfg.version!r} "
-                         "(reference supports 1, 2, 3; ref :329-340)")
-    ctype = contact.collision_type(p1, p2, normal, cfg.face_contact_tol, mask1, mask2)
+    npts, cpoint, normal, ctype = derive_contact(p1, p2, e.normal, cfg,
+                                                 mask1, mask2)
 
     hit = g.hit
     zeros = _zero_result_like(dtype)
@@ -218,3 +228,45 @@ def gjk_distance_batch(
         return jax.vmap(one, in_axes=in_axes)(p1, p2, mask1, mask2)
     return jax.lax.map(lambda xs: one(*xs), (p1, p2, mask1, mask2),
                        batch_size=chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret"))
+def gjkepa_batch_fused(
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    cfg: GJKEPAConfig | None = None,
+    block: int = 128,
+    interpret: bool = False,
+) -> CollisionResult:
+    """Full-surface batch query on the fused Pallas fast path (TPU).
+
+    Runs the fused GJK+EPA kernels (two-phase, hit-sorted) and derives the
+    reference's contact outputs (nearest points, contact point, type) with
+    the XLA contact ops — the complete GJKEPA contract at kernel speed.
+    float32, hulls padded by repeating a real vertex (utils.hull.pad_hulls);
+    B must be a multiple of `block`.
+    """
+    from .ops.fused import fused_gjkepa_hulls  # deferred: pallas import
+
+    if cfg is None:
+        cfg = GJKEPAConfig.for_f32()
+    r = fused_gjkepa_hulls(p1, p2, cfg=cfg, block=block, interpret=interpret)
+
+    def one(a, b, nrm):
+        return derive_contact(a, b, nrm, cfg)
+
+    npts, cpoint, normal, ctype = jax.vmap(one)(p1, p2, r.normal)
+    hit = r.hit
+    zero3 = jnp.zeros((), p1.dtype)
+    return CollisionResult(
+        hit=hit,
+        colli_type=jnp.where(hit, ctype, 0),
+        nearest_points=jnp.where(hit[:, None, None], npts, zero3),
+        normal=jnp.where(hit[:, None], normal, zero3),
+        contact_point=jnp.where(hit[:, None], cpoint, zero3),
+        depth=jnp.where(hit, r.depth, zero3),
+        distance=r.distance,
+        status=r.status,
+        gjk_iters=r.gjk_iters,
+        epa_iters=r.epa_iters,
+    )

@@ -58,3 +58,20 @@ def test_fused_rejects_bad_batch_size():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_fused_full_api_matches_xla(rng):
+    from gjkepa_tpu.api import gjkepa_batch_fused
+
+    p1, p2 = _batch(rng, 128, 12, spread=0.6)
+    rf = gjkepa_batch_fused(p1, p2, cfg=CFG, interpret=True)
+    rx = gjkepa_batch(p1, p2, cfg=CFG)
+    np.testing.assert_array_equal(np.asarray(rf.hit), np.asarray(rx.hit))
+    m = np.asarray(rf.hit)
+    assert m.sum() > 10
+    np.testing.assert_allclose(np.asarray(rf.contact_point)[m],
+                               np.asarray(rx.contact_point)[m], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rf.colli_type)[m],
+                                  np.asarray(rx.colli_type)[m])
+    np.testing.assert_allclose(np.asarray(rf.depth)[m],
+                               np.asarray(rx.depth)[m], atol=1e-6)
