@@ -30,7 +30,7 @@ from .ops.distance import gjk_distance
 from .ops.epa import run_epa
 from .ops.gjk import run_gjk
 from .ops.support import make_hull_support
-from .types import CollisionResult, Status
+from .types import CollisionResult
 
 __all__ = ["gjkepa", "gjkepa_batch", "gjkepa_batch_fused", "collide_supports",
            "collide_shapes_batch", "gjk_distance_batch", "derive_contact"]

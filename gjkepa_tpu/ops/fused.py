@@ -675,19 +675,35 @@ def _round_cfg(cfg):
     return cfg
 
 
+def _cascade_cfgs(cfg):
+    """EPA cascade: a cheap small-cap pass (cost ~F^2 per iteration) for
+    everyone, then the full-cap pass only for lanes the small pass reports
+    capacity-degenerate (typically ~0.1%).  Observable results are those of
+    the full-cap EPA."""
+    small_v, small_f = 24, 48
+    if cfg.epa_max_verts <= small_v or cfg.epa_max_faces <= small_f:
+        return [cfg]
+    return [cfg.replace(epa_max_verts=small_v, epa_max_faces=small_f), cfg]
+
+
 def _vecspec(rows, block):
     return pl.BlockSpec((1, rows, block), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
+def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
                    interpret, sort_hits):
-    """Shared two-phase driver.
+    """Shared multi-phase driver.
 
     Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
-    hit-compacted order: pairs are permuted so hit lanes occupy the leading
-    blocks, letting the per-block EPA while-loop exit immediately for the
-    (typically vast) miss majority.  Outputs are scattered back.
+    hit-compacted order: pairs are permuted so active lanes occupy the
+    leading blocks, letting the per-block EPA while-loop exit immediately
+    for the inactive majority — EPA cost scales with the number of
+    contacts, not the batch size.  `epa_kernels` is a cascade: the first
+    (small polytope caps, cheap per iteration) handles everyone; lanes it
+    reports capacity-degenerate (status HIT_EPA_DEGENERATE) are re-run by
+    the next kernel (larger caps), and so on.  Outputs are scattered back.
+
     `geom_arrays` are the pre-transposed per-pair geometry inputs whose
     leading dim is nb and whose LAST dim is the lane (pair) dim.
     """
@@ -705,13 +721,7 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
     gflat = jnp.swapaxes(gout, 1, 2).reshape(b, 24)          # (B, 24)
     hit = gflat[:, 0] > 0.5
 
-    if sort_hits:
-        order = jnp.argsort(~hit, stable=True)              # hits first
-        inv = jnp.argsort(order, stable=True)
-    else:
-        order = inv = jnp.arange(b)
-
-    def permute_geom(arr):
+    def permute_geom(arr, order):
         # (nb, *feat, block) -> flat pair-major -> permuted -> back.
         # All reshapes/permutes go through 2-D swapaxes: XLA's 4-D
         # transposes with a tiny inner dim run ~70x slower on TPU.
@@ -722,19 +732,35 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
         back = jnp.swapaxes(flat.reshape(nb, block, feat), 1, 2)
         return back.reshape(shp)
 
-    geom_p = tuple(permute_geom(a) for a in geom_arrays)
-    gin = jnp.swapaxes(gflat[order].reshape(nb, block, 24), 1, 2)
+    def epa_pass(epa_kernel, active):
+        """Run one EPA kernel over the active lanes (compacted if sorting)."""
+        if sort_hits:
+            order = jnp.argsort(~active, stable=True)        # active first
+            inv = jnp.argsort(order, stable=True)
+        else:
+            order = inv = jnp.arange(b)
+        geom_p = tuple(permute_geom(a, order) for a in geom_arrays)
+        g_perm = gflat[order]
+        g_perm = g_perm.at[:, 0].set(
+            jnp.where(active[order], 1.0, 0.0))              # row0 gates EPA
+        gin = jnp.swapaxes(g_perm.reshape(nb, block, 24), 1, 2)
+        eout = pl.pallas_call(
+            epa_kernel,
+            grid=(nb,),
+            out_shape=jax.ShapeDtypeStruct((nb, 8, block), jnp.float32),
+            in_specs=list(geom_specs) + [_vecspec(24, block)],
+            out_specs=_vecspec(8, block),
+            interpret=interpret,
+        )(*geom_p, gin)
+        return jnp.swapaxes(eout, 1, 2).reshape(b, 8)[inv]   # natural order
 
-    eout = pl.pallas_call(
-        epa_kernel,
-        grid=(nb,),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, block), jnp.float32),
-        in_specs=list(geom_specs) + [_vecspec(24, block)],
-        out_specs=_vecspec(8, block),
-        interpret=interpret,
-    )(*geom_p, gin)
-
-    eflat = jnp.swapaxes(eout, 1, 2).reshape(b, 8)[inv]       # natural order
+    active = hit
+    eflat = epa_pass(epa_kernels[0], active)
+    for kern in epa_kernels[1:]:
+        retry = active & (eflat[:, 5].astype(jnp.int32) == Status.HIT_EPA_DEGENERATE)
+        eflat2 = epa_pass(kern, retry)
+        eflat = jnp.where(retry[:, None], eflat2, eflat)
+        active = retry
 
     status = gflat[:, 1].astype(jnp.int32)
     epa_status = eflat[:, 5].astype(jnp.int32)
@@ -793,11 +819,14 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128
         _gjk_kernel_hulls(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg,
                           block=block, use_broadphase=use_broadphase)
 
-    def epa_wrap(p1r, p2r, ginr, outr):
-        _epa_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0], outr.at[0],
-                          cfg=cfg, block=block)
+    def mk_epa(c):
+        def epa_wrap(p1r, p2r, ginr, outr):
+            _epa_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0], outr.at[0],
+                              cfg=c, block=block)
+        return epa_wrap
 
-    return _run_two_phase(gjk_wrap, epa_wrap, (p1t, p2t), specs, b, block,
+    epa_kernels = [mk_epa(c) for c in _cascade_cfgs(cfg)]
+    return _run_two_phase(gjk_wrap, epa_kernels, (p1t, p2t), specs, b, block,
                           interpret, sort_hits)
 
 
@@ -917,9 +946,12 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
         _gjk_kernel_shapes(sar.at[0], sbr.at[0], outr.at[0], cfg=cfg,
                            block=block)
 
-    def epa_wrap(sar, sbr, ginr, outr):
-        _epa_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0], outr.at[0],
-                           cfg=cfg, block=block)
+    def mk_epa(c):
+        def epa_wrap(sar, sbr, ginr, outr):
+            _epa_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0], outr.at[0],
+                               cfg=c, block=block)
+        return epa_wrap
 
-    return _run_two_phase(gjk_wrap, epa_wrap, (sa, sb), specs, bsz, block,
+    epa_kernels = [mk_epa(c) for c in _cascade_cfgs(cfg)]
+    return _run_two_phase(gjk_wrap, epa_kernels, (sa, sb), specs, bsz, block,
                           interpret, sort_hits)

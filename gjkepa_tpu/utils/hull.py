@@ -21,7 +21,6 @@ repo, SURVEY.md §2.3).  The TPU engine's query path never rebuilds hulls
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import sys
 from pathlib import Path
