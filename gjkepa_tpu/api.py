@@ -33,7 +33,8 @@ from .ops.support import make_hull_support
 from .types import CollisionResult
 
 __all__ = ["gjkepa", "gjkepa_batch", "gjkepa_batch_fused", "collide_supports",
-           "collide_shapes_batch", "gjk_distance_batch", "derive_contact"]
+           "collide_shapes_batch", "collide_hull_shape_batch",
+           "gjk_distance_batch", "derive_contact"]
 
 
 def derive_contact(p1, p2, epa_normal, cfg: GJKEPAConfig,
@@ -270,3 +271,40 @@ def gjkepa_batch_fused(
         gjk_iters=r.gjk_iters,
         epa_iters=r.epa_iters,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk_size"))
+def collide_hull_shape_batch(
+    p1: jnp.ndarray,
+    shapes,
+    mask1: jnp.ndarray | None = None,
+    cfg: GJKEPAConfig = DEFAULT_CONFIG,
+    chunk_size: int | None = None,
+) -> CollisionResult:
+    """Mixed batched narrow-phase: convex hull vs analytic shape per pair.
+
+    Args:
+      p1: (B, N, 3) padded hull vertex buffers (side A).
+      shapes: :class:`gjkepa_tpu.models.ShapeBatch` of length B (side B).
+
+    Capability extension: the reference handles vertex clouds only; this
+    pairs a cloud with a closed-form support map in the same query.
+    """
+    from .models.shapes import shape_support_world  # deferred: models imports ops
+    from .ops.support import SupportResult, hull_support_point
+
+    dtype = p1.dtype
+
+    def one(verts, m, k, prm, pos, rot):
+        def support(d):
+            a = hull_support_point(verts, d, m)
+            b = shape_support_world(k, prm, pos, rot, -d)
+            return SupportResult(a - b, a, b)
+
+        return collide_supports(support, cfg=cfg, dtype=dtype)
+
+    args = (p1, mask1, shapes.kind, shapes.params, shapes.pos, shapes.rot)
+    if chunk_size is None:
+        in_axes = (0, None if mask1 is None else 0, 0, 0, 0, 0)
+        return jax.vmap(one, in_axes=in_axes)(*args)
+    return jax.lax.map(lambda xs: one(*xs), args, batch_size=chunk_size)

@@ -75,3 +75,26 @@ def test_fused_full_api_matches_xla(rng):
                                   np.asarray(rx.colli_type)[m])
     np.testing.assert_allclose(np.asarray(rf.depth)[m],
                                np.asarray(rx.depth)[m], atol=1e-6)
+
+
+def test_fused_cascade_capacity_path():
+    """Deep-penetration pairs with tiny stage-1 caps must be rescued by the
+    full-cap cascade stage: depth still matches the XLA path."""
+    from gjkepa_tpu import GJKEPAConfig
+
+    rng = np.random.default_rng(3)
+    b, n = 128, 24
+    big = rng.normal(size=(b, n, 3)).astype(np.float32)
+    big /= np.linalg.norm(big, axis=-1, keepdims=True)
+    big *= 2.0
+    small = rng.normal(size=(b, n, 3)).astype(np.float32)
+    small /= np.linalg.norm(small, axis=-1, keepdims=True)
+    small = small * 0.5 + rng.normal(size=(b, 1, 3)).astype(np.float32) * 0.2
+    p1, p2 = jnp.asarray(big), jnp.asarray(small)
+    cfg = GJKEPAConfig.for_f32()  # cascade: (24,48) then (40,80)
+    rf = fused_gjkepa_hulls(p1, p2, cfg=cfg, block=128, interpret=True)
+    rx = gjkepa_batch(p1, p2, cfg=cfg)
+    m = np.asarray(rf.hit)
+    assert m.mean() > 0.9  # deep-penetration fixture: nearly all hit
+    np.testing.assert_allclose(np.asarray(rf.depth)[m], np.asarray(rx.depth)[m],
+                               atol=1e-6)

@@ -119,3 +119,33 @@ class TestAnalyticBatch:
         for leaf in r:
             assert np.isfinite(np.asarray(leaf, dtype=np.float64)).all()
         assert 0 < int(np.sum(np.asarray(r.hit))) < B // 2  # plausible mix
+
+
+class TestMixedHullShape:
+    def test_box_shape_equals_its_corner_hull(self, rng):
+        """A box as an analytic shape vs as its 8-corner hull must give the
+        same hit/depth against a hull opponent."""
+        import jax.numpy as jnp
+        from gjkepa_tpu.api import collide_hull_shape_batch
+        from gjkepa_tpu import GJKEPAConfig, gjkepa_batch
+
+        cfg = GJKEPAConfig()
+        B = 16
+        hulls = np.stack([np.random.default_rng(i).normal(size=(12, 3))
+                          for i in range(B)])
+        hulls /= np.linalg.norm(hulls, axis=-1, keepdims=True)
+        hulls += rng.normal(size=(B, 1, 3)) * 0.6
+        half = 0.4 + 0.4 * rng.random((B, 3))
+        pos = rng.normal(size=(B, 3)) * 0.6
+        shp = boxes(half, pos=pos, dtype=jnp.float64)
+        corners = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                            for sz in (-1, 1)])
+        box_hulls = pos[:, None, :] + corners[None] * half[:, None, :]
+        r_mixed = collide_hull_shape_batch(jnp.asarray(hulls), shp, cfg=cfg)
+        r_hull = gjkepa_batch(jnp.asarray(hulls), jnp.asarray(box_hulls), cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(r_mixed.hit),
+                                      np.asarray(r_hull.hit))
+        m = np.asarray(r_mixed.hit)
+        if m.any():
+            np.testing.assert_allclose(np.asarray(r_mixed.depth)[m],
+                                       np.asarray(r_hull.depth)[m], atol=1e-6)
