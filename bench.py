@@ -66,7 +66,6 @@ def main():
     import jax.numpy as jnp
 
     from gjkepa_tpu import GJKEPAConfig, gjkepa
-    from gjkepa_tpu.api import gjk_distance_batch
     from gjkepa_tpu.models import boxes, capsules, concat_shapes, cylinders, spheres
     from gjkepa_tpu.ops.fused import fused_gjkepa_hulls, fused_gjkepa_shapes
 
@@ -96,7 +95,8 @@ def main():
     gjk_cfg = cfg.replace(epa_max_iters=0)
     t_bool = timeit(lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=128),
                     lambda r: r.gjk_iters.astype(jnp.float32))
-    t_dist = timeit(lambda: gjk_distance_batch(p1, p2, cfg=cfg),
+    from gjkepa_tpu.ops.fused import fused_gjk_distance_hulls
+    t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg, block=128),
                     lambda r: r.distance, iters=5)
     results["c2_hull4k_bool_qps"] = B2 / t_bool
     results["c2_hull4k_dist_qps"] = B2 / t_dist

@@ -41,7 +41,8 @@ from ..config import GJKEPAConfig
 from ..types import Status
 from .directions import DIRECTION_TABLE
 
-__all__ = ["fused_gjkepa_hulls", "fused_gjkepa_shapes", "FusedResult"]
+__all__ = ["fused_gjkepa_hulls", "fused_gjkepa_shapes",
+           "fused_gjk_distance_hulls", "FusedResult"]
 
 _RUNNING = -1
 
@@ -955,3 +956,278 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     epa_kernels = [mk_epa(c) for c in _cascade_cfgs(cfg)]
     return _run_two_phase(gjk_wrap, epa_kernels, (sa, sb), specs, bsz, block,
                           interpret, sort_hits)
+
+
+# ---------------------------------------------------------------------------
+# Fused distance-GJK (BASELINE config 2): closest distance + witness points.
+# Same algorithm as ops.distance.gjk_distance, in pairs-on-lanes form: the
+# closest-point-on-simplex step enumerates all 15 sub-simplices with static
+# indices (vertices/edges via clamped projections, faces/tetra via
+# barycentric validity) and the supporting subset becomes the next simplex.
+# ---------------------------------------------------------------------------
+
+_DIST_SUBSETS = (
+    # (verts...), padded later; order matches ops.distance._SUBSETS
+    (0,), (1,), (2,), (3,),
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3),
+    (0, 1, 2, 3),
+)
+
+
+def _make_hull_support_ab(v1x, v1y, v1z, v2x, v2y, v2z, n_iota1, n_iota2):
+    """Like _make_hull_support but also returns the per-hull witnesses."""
+
+    def support(d: P3):
+        dots1 = v1x * d.x + v1y * d.y + v1z * d.z
+        i1 = jnp.argmax(dots1, axis=0, keepdims=True)
+        oh1 = n_iota1 == i1
+        a = P3(jnp.sum(jnp.where(oh1, v1x, 0.0), axis=0, keepdims=True),
+               jnp.sum(jnp.where(oh1, v1y, 0.0), axis=0, keepdims=True),
+               jnp.sum(jnp.where(oh1, v1z, 0.0), axis=0, keepdims=True))
+        dots2 = -(v2x * d.x + v2y * d.y + v2z * d.z)
+        i2 = jnp.argmax(dots2, axis=0, keepdims=True)
+        oh2 = n_iota2 == i2
+        b = P3(jnp.sum(jnp.where(oh2, v2x, 0.0), axis=0, keepdims=True),
+               jnp.sum(jnp.where(oh2, v2y, 0.0), axis=0, keepdims=True),
+               jnp.sum(jnp.where(oh2, v2z, 0.0), axis=0, keepdims=True))
+        return a - b, a, b
+
+    return support
+
+
+def _closest_candidates(w, n_pts, block):
+    """(d2, bary4, size) per sub-simplex of the 4-point simplex `w`.
+
+    Returns lists over the 15 candidates; invalid candidates get d2=BIG.
+    Mirrors ops.distance._closest_point_candidates.
+    """
+    BIG = jnp.full((1, block), 3.4e38, jnp.float32)
+    zero = jnp.zeros((1, block), jnp.float32)
+    out = []
+
+    def bary_of(pairs):
+        bar = [zero, zero, zero, zero]
+        for i, val in pairs:
+            bar[i] = val
+        return bar
+
+    one = jnp.ones((1, block), jnp.float32)
+    # vertices
+    for i in range(4):
+        d2 = pdot(w[i], w[i])
+        valid = jnp.asarray(i, jnp.int32) < n_pts
+        out.append((jnp.where(valid, d2, BIG), bary_of([(i, one)]), 1))
+    # edges (clamped segment projection)
+    for i, j in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+        a, b = w[i], w[j]
+        ab = b - a
+        den = pdot(ab, ab)
+        t = jnp.clip(pdot(-a, ab) / jnp.where(den > 0, den, 1.0), 0.0, 1.0)
+        p = a + pscale(ab, t)
+        valid = (jnp.asarray(j, jnp.int32) < n_pts) & (den > 0)
+        out.append((jnp.where(valid, pdot(p, p), BIG),
+                    bary_of([(i, 1.0 - t), (j, t)]), 2))
+    # faces (plane projection, valid iff inside)
+    for i, j, k in ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)):
+        a, b, c = w[i], w[j], w[k]
+        nrm = pcross(b - a, c - a)
+        nn = pdot(nrm, nrm)
+        safe = jnp.where(nn > 0, nn, 1.0)
+        dist_plane = pdot(a, nrm) / safe
+        p = pscale(nrm, dist_plane)
+        v0, v1, v2 = b - a, c - a, p - a
+        d00, d01, d11 = pdot(v0, v0), pdot(v0, v1), pdot(v1, v1)
+        d20, d21 = pdot(v2, v0), pdot(v2, v1)
+        den = d00 * d11 - d01 * d01
+        dsafe = jnp.where(jnp.abs(den) > 0, den, 1.0)
+        bv = (d11 * d20 - d01 * d21) / dsafe
+        bw = (d00 * d21 - d01 * d20) / dsafe
+        bu = 1.0 - bv - bw
+        inside = (bu >= 0) & (bv >= 0) & (bw >= 0) & (jnp.abs(den) > 0)
+        valid = (jnp.asarray(k, jnp.int32) < n_pts) & inside
+        out.append((jnp.where(valid, pdot(p, p), BIG),
+                    bary_of([(i, bu), (j, bv), (k, bw)]), 3))
+    # tetra interior via Cramer
+    a, b, c, d = w
+    e0, e1, e2 = b - a, c - a, d - a
+    det = pdot(pcross(e0, e1), e2)
+    dsafe = jnp.where(jnp.abs(det) > 0, det, 1.0)
+    rhs = -a
+    l0 = pdot(pcross(rhs, e1), e2) / dsafe
+    l1 = pdot(pcross(e0, rhs), e2) / dsafe
+    l2 = pdot(pcross(e0, e1), rhs) / dsafe
+    u = 1.0 - l0 - l1 - l2
+    inside = (u >= 0) & (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & (jnp.abs(det) > 0)
+    valid = (n_pts >= 4) & inside
+    out.append((jnp.where(valid, zero, BIG), [u, l0, l1, l2], 4))
+    return out
+
+
+def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters):
+    support, v1, v2 = _hull_views(p1_ref, p2_ref, block)
+    support_ab = _make_hull_support_ab(*v1, *v2,
+                                       lax.broadcasted_iota(jnp.int32, (p1_ref.shape[0], block), 0),
+                                       lax.broadcasted_iota(jnp.int32, (p2_ref.shape[0], block), 0))
+    eps = cfg.eps_coincide
+    eps_rel = 1e-6
+    zero = pzero(block)
+    one_dir = P3(jnp.ones((1, block), jnp.float32),
+                 jnp.zeros((1, block), jnp.float32),
+                 jnp.zeros((1, block), jnp.float32))
+    w0, a0, b0 = support_ab(one_dir)
+
+    def seed(p):
+        return (p, zero, zero, zero)
+
+    def cond(c):
+        run = (c["done"] == 0) & (c["it"] < max_iters)
+        return jnp.sum(jnp.where(run, jnp.int32(1), jnp.int32(0))) > 0
+
+    def body(c):
+        run = (c["done"] == 0) & (c["it"] < max_iters)
+        w, wa, wb, n = c["w"], c["wa"], c["wb"], c["n"]
+        cands = _closest_candidates(w, n, block)
+        best_d2 = cands[0][0]
+        best_k = jnp.zeros((1, block), jnp.int32)
+        for k in range(1, len(cands)):
+            better = cands[k][0] < best_d2
+            best_d2 = jnp.where(better, cands[k][0], best_d2)
+            best_k = jnp.where(better, jnp.int32(k), best_k)
+        bary = [jnp.zeros((1, block), jnp.float32) for _ in range(4)]
+        for k, (_, bk, _) in enumerate(cands):
+            sel = best_k == k
+            for s in range(4):
+                bary[s] = jnp.where(sel, bk[s], bary[s])
+        vpt = pzero(block)
+        pa = pzero(block)
+        pb = pzero(block)
+        for s in range(4):
+            vpt = vpt + pscale(w[s], bary[s])
+            pa = pa + pscale(wa[s], bary[s])
+            pb = pb + pscale(wb[s], bary[s])
+        v2_ = pdot(vpt, vpt)
+        inter = v2_ < eps_rel
+
+        # reduce to the supporting subset (static per candidate)
+        new_w = [zero, zero, zero, zero]
+        new_a = [zero, zero, zero, zero]
+        new_b = [zero, zero, zero, zero]
+        size = jnp.zeros((1, block), jnp.int32)
+        for k, sub in enumerate(_DIST_SUBSETS):
+            sel = best_k == k
+            size = jnp.where(sel, jnp.int32(len(sub)), size)
+            for s, vi in enumerate(sub):
+                new_w[s] = pwhere(sel, w[vi], new_w[s])
+                new_a[s] = pwhere(sel, wa[vi], new_a[s])
+                new_b[s] = pwhere(sel, wb[vi], new_b[s])
+
+        rw, ra, rb = support_ab(-vpt)
+        gap = v2_ - pdot(vpt, rw)
+        converged = inter | (gap <= eps_rel * jnp.maximum(v2_, 1.0))
+        dup = jnp.zeros((1, block), bool)
+        for s in range(4):
+            dup = dup | ((jnp.asarray(s, jnp.int32) < size)
+                         & pcoincide(new_w[s], rw, eps))
+        done_now = run & (converged | dup)
+
+        # insert the new support at slot `size`
+        for s in range(4):
+            here = (size == s) & run & ~done_now
+            new_w[s] = pwhere(here, rw, new_w[s])
+            new_a[s] = pwhere(here, ra, new_a[s])
+            new_b[s] = pwhere(here, rb, new_b[s])
+        n_new = jnp.where(run & ~done_now, jnp.minimum(size + 1, 4), size)
+
+        keep = lambda news, olds: tuple(  # noqa: E731
+            pwhere(run, nv_, ov_) for nv_, ov_ in zip(news, olds))
+        return {
+            "w": keep(new_w, c["w"]), "wa": keep(new_a, c["wa"]),
+            "wb": keep(new_b, c["wb"]),
+            "n": jnp.where(run, n_new, c["n"]),
+            "it": jnp.where(run, c["it"] + 1, c["it"]),
+            "done": c["done"] | jnp.where(done_now, jnp.int32(1), jnp.int32(0)),
+            "d2": jnp.where(run, v2_, c["d2"]),
+            "pa": pwhere(run, pa, c["pa"]),
+            "pb": pwhere(run, pb, c["pb"]),
+            "inter": jnp.where(run, jnp.where(inter, jnp.int32(1), jnp.int32(0)),
+                               c["inter"]),
+        }
+
+    # int carries start lane-VARYING (iota-derived zeros): Mosaic cannot
+    # relayout a varying loop-body output back into a replicated-constant
+    # initial carry ("Invalid relayout ... replicated in destination").
+    izero = jnp.minimum(lax.broadcasted_iota(jnp.int32, (1, block), 1),
+                        jnp.int32(0))
+    carry = {
+        "w": seed(w0), "wa": seed(a0), "wb": seed(b0),
+        "n": izero + 1,
+        "it": izero,
+        "done": izero,
+        "d2": jnp.zeros((1, block), jnp.float32),
+        "pa": zero, "pb": zero,
+        "inter": izero,
+    }
+    out = lax.while_loop(cond, body, carry)
+    inter = out["inter"] > 0
+    dist = jnp.sqrt(jnp.maximum(out["d2"], 0.0))
+    dist = jnp.where(inter, 0.0, dist)
+    f = jnp.float32
+    out_ref[0:1, :] = dist.astype(f)
+    out_ref[1:2, :] = out["pa"].x
+    out_ref[2:3, :] = out["pa"].y
+    out_ref[3:4, :] = out["pa"].z
+    out_ref[4:5, :] = out["pb"].x
+    out_ref[5:6, :] = out["pb"].y
+    out_ref[6:7, :] = out["pb"].z
+    out_ref[7:8, :] = jnp.where(inter, 1.0, 0.0).astype(f)
+    out_ref[8:9, :] = out["it"].astype(f)
+    out_ref[9:16, :] = jnp.zeros((7, block), f)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "max_iters",
+                                             "interpret"))
+def fused_gjk_distance_hulls(p1, p2, cfg: GJKEPAConfig | None = None,
+                             block: int = 128, max_iters: int = 64,
+                             interpret: bool = False):
+    """Fused distance-GJK over hull pairs: (distance, point_a, point_b,
+    intersecting, iters) — the BASELINE config-2 capability at kernel speed."""
+    if cfg is None:
+        cfg = GJKEPAConfig.for_f32()
+    b, n1 = p1.shape[0], p1.shape[1]
+    n2 = p2.shape[1]
+    if b % block != 0:
+        raise ValueError(f"batch {b} not a multiple of block {block}")
+    nb = b // block
+    p1t = jnp.swapaxes(p1.reshape(nb, block, n1 * 3), 1, 2).reshape(
+        nb, n1, 3, block)
+    p2t = jnp.swapaxes(p2.reshape(nb, block, n2 * 3), 1, 2).reshape(
+        nb, n2, 3, block)
+    specs = [
+        pl.BlockSpec((1, n1, 3, block), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n2, 3, block), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def wrap(p1r, p2r, outr):
+        _distance_kernel_hulls(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg,
+                               block=block, max_iters=max_iters)
+
+    out = pl.pallas_call(
+        wrap, grid=(nb,),
+        out_shape=jax.ShapeDtypeStruct((nb, 16, block), jnp.float32),
+        in_specs=specs, out_specs=_vecspec(16, block), interpret=interpret,
+    )(p1t, p2t)
+
+    def row(i):
+        return out[:, i, :].reshape(b)
+
+    from .distance import DistanceResult
+    return DistanceResult(
+        distance=row(0),
+        point_a=jnp.stack([row(1), row(2), row(3)], axis=1),
+        point_b=jnp.stack([row(4), row(5), row(6)], axis=1),
+        intersecting=row(7) > 0.5,
+        iters=row(8).astype(jnp.int32),
+    )

@@ -98,3 +98,21 @@ def test_fused_cascade_capacity_path():
     assert m.mean() > 0.9  # deep-penetration fixture: nearly all hit
     np.testing.assert_allclose(np.asarray(rf.depth)[m], np.asarray(rx.depth)[m],
                                atol=1e-6)
+
+
+def test_fused_distance_matches_xla(rng):
+    from gjkepa_tpu.api import gjk_distance_batch
+    from gjkepa_tpu.ops.fused import fused_gjk_distance_hulls
+
+    p1, p2 = _batch(rng, 128, 12, spread=2.0)
+    rf = fused_gjk_distance_hulls(p1, p2, cfg=CFG, interpret=True)
+    rx = gjk_distance_batch(p1, p2, cfg=CFG)
+    np.testing.assert_array_equal(np.asarray(rf.intersecting),
+                                  np.asarray(rx.intersecting))
+    m = ~np.asarray(rf.intersecting)
+    assert m.sum() > 50
+    np.testing.assert_allclose(np.asarray(rf.distance)[m],
+                               np.asarray(rx.distance)[m], atol=1e-5)
+    # witnesses realize the distance
+    gap = np.linalg.norm(np.asarray(rf.point_a) - np.asarray(rf.point_b), axis=1)
+    np.testing.assert_allclose(gap[m], np.asarray(rf.distance)[m], atol=1e-5)
