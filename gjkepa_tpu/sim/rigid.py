@@ -242,6 +242,21 @@ def sim_step(state: SimState, scfg: SimConfig = SimConfig(),
         angvel = angvel.at[i_idx].add(-inv_inertia[i_idx, None] * jnp.cross(ra, imp))
         angvel = angvel.at[j_idx].add(inv_inertia[j_idx, None] * jnp.cross(rb, imp))
 
+        # --- pair friction (Coulomb clamp on the tangential relative vel) ---
+        vt_rel = rel - vn[:, None] * normal
+        vt_n = jnp.linalg.norm(vt_rel, axis=1)
+        jt = jnp.where(contact,
+                       jnp.minimum(vt_n / jnp.maximum(k_n, 1e-6),
+                                   scfg.friction * jn), 0.0)
+        t_dirp = -vt_rel / jnp.maximum(vt_n, 1e-6)[:, None]
+        imp_tp = jt[:, None] * t_dirp
+        vel = vel.at[i_idx].add(-imp_tp * inv_mass[i_idx, None])
+        vel = vel.at[j_idx].add(imp_tp * inv_mass[j_idx, None])
+        angvel = angvel.at[i_idx].add(-inv_inertia[i_idx, None]
+                                      * jnp.cross(ra, imp_tp))
+        angvel = angvel.at[j_idx].add(inv_inertia[j_idx, None]
+                                      * jnp.cross(rb, imp_tp))
+
         # --- ground contacts (static plane, normal +z) ---
         rg = g_point - state.pos
         vg = vel + jnp.cross(angvel, rg)
