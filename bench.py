@@ -93,10 +93,10 @@ def main():
     p1 = jnp.asarray(random_hulls(rng, B2, N2))
     p2 = jnp.asarray(random_hulls(rng, B2, N2))
     gjk_cfg = cfg.replace(epa_max_iters=0)
-    t_bool = timeit(lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=128),
+    t_bool = timeit(lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=512),
                     lambda r: r.gjk_iters.astype(jnp.float32))
     from gjkepa_tpu.ops.fused import fused_gjk_distance_hulls
-    t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg, block=128),
+    t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg, block=512),
                     lambda r: r.distance, iters=5)
     results["c2_hull4k_bool_qps"] = B2 / t_bool
     results["c2_hull4k_dist_qps"] = B2 / t_dist
@@ -130,9 +130,9 @@ def main():
     small = random_hulls(rng, B4, N4, spread=0.0) * 0.5
     small += rng.normal(size=(B4, 1, 3)).astype(np.float32) * 0.2
     p41, p42 = jnp.asarray(big), jnp.asarray(small)
-    t4 = timeit(lambda: fused_gjkepa_hulls(p41, p42, cfg=cfg, block=128),
+    t4 = timeit(lambda: fused_gjkepa_hulls(p41, p42, cfg=cfg, block=512),
                 lambda r: r.depth, iters=5)
-    r4 = fused_gjkepa_hulls(p41, p42, cfg=cfg, block=128)
+    r4 = fused_gjkepa_hulls(p41, p42, cfg=cfg, block=512)
     hit_frac = float(jnp.mean(r4.hit.astype(jnp.float32)))
     results["c4_deep16k_qps"] = B4 / t4
     results["c4_hit_fraction"] = hit_frac

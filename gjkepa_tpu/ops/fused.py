@@ -590,10 +590,12 @@ def _hull_broadphase(v1x, v1y, v1z, v2x, v2y, v2z, tol):
 
 
 def _hull_views(p1_ref, p2_ref, block):
-    n1 = p1_ref.shape[0]
-    n2 = p2_ref.shape[0]
-    v1 = (p1_ref[:, 0, :], p1_ref[:, 1, :], p1_ref[:, 2, :])
-    v2 = (p2_ref[:, 0, :], p2_ref[:, 1, :], p2_ref[:, 2, :])
+    # refs are (3, N, BLOCK): coordinate-major so the last two dims stay
+    # tile-aligned for any block size
+    n1 = p1_ref.shape[1]
+    n2 = p2_ref.shape[1]
+    v1 = (p1_ref[0, :, :], p1_ref[1, :, :], p1_ref[2, :, :])
+    v2 = (p2_ref[0, :, :], p2_ref[1, :, :], p2_ref[2, :, :])
     iota1 = lax.broadcasted_iota(jnp.int32, (n1, block), 0)
     iota2 = lax.broadcasted_iota(jnp.int32, (n2, block), 0)
     support = _make_hull_support(*v1, *v2, iota1, iota2)
@@ -716,6 +718,8 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
         out_shape=jax.ShapeDtypeStruct((nb, 24, block), jnp.float32),
         in_specs=list(geom_specs),
         out_specs=_vecspec(24, block),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*geom_arrays)
 
@@ -751,6 +755,8 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
             out_shape=jax.ShapeDtypeStruct((nb, 8, block), jnp.float32),
             in_specs=list(geom_specs) + [_vecspec(24, block)],
             out_specs=_vecspec(8, block),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*geom_p, gin)
         return jnp.swapaxes(eout, 1, 2).reshape(b, 8)[inv]   # natural order
@@ -779,7 +785,7 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "use_broadphase",
                                              "interpret", "sort_hits"))
-def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128,
+def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 512,
                        use_broadphase: bool = True, interpret: bool = False,
                        sort_hits: bool = True) -> FusedResult:
     """Fused-kernel batch query over hull pairs (two-phase dispatch).
@@ -799,20 +805,26 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 128
     cfg = _round_cfg(cfg)
     b, n1 = p1.shape[0], p1.shape[1]
     n2 = p2.shape[1]
+    if b % 128 != 0:
+        raise ValueError(f"batch {b} must be a multiple of 128 (lane width)")
+    block = min(block, b)
     if b % block != 0:
-        raise ValueError(f"batch {b} not a multiple of block {block}")
+        block = 128
     nb = b // block
-    # 2-D swap instead of a 4-D transpose (tiny-inner-dim transposes are
-    # pathologically slow on TPU: 48ms vs 0.7ms at 4k x 64 verts)
-    p1t = jnp.swapaxes(p1.reshape(nb, block, n1 * 3), 1, 2).reshape(
-        nb, n1, 3, block)
-    p2t = jnp.swapaxes(p2.reshape(nb, block, n2 * 3), 1, 2).reshape(
-        nb, n2, 3, block)
+    # coordinate-major (nb, 3, N, block) layout: last two block dims (N,
+    # block) are tile-aligned for any block size; built with 2-D swaps
+    # (tiny-inner-dim 4-D transposes are pathologically slow on TPU)
+    def to_kernel_layout(p, n):
+        flat = jnp.swapaxes(p.reshape(nb, block, n * 3), 1, 2)  # (nb, n*3, blk)
+        return flat.reshape(nb, n, 3, block).swapaxes(1, 2)     # (nb, 3, n, blk)
+
+    p1t = to_kernel_layout(p1, n1)
+    p2t = to_kernel_layout(p2, n2)
 
     specs = (
-        pl.BlockSpec((1, n1, 3, block), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, 3, n1, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n2, 3, block), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, 3, n2, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     )
 
@@ -936,8 +948,11 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     """
     cfg = _round_cfg(cfg)
     bsz = a.kind.shape[0]
+    if bsz % 128 != 0:
+        raise ValueError(f"batch {bsz} must be a multiple of 128 (lane width)")
+    block = min(block, bsz)
     if bsz % block != 0:
-        raise ValueError(f"batch {bsz} not a multiple of block {block}")
+        block = 128
     nb = bsz // block
     sa = _pack_shapes(a, nb, block)
     sb = _pack_shapes(b, nb, block)
@@ -1067,8 +1082,8 @@ def _closest_candidates(w, n_pts, block):
 def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters):
     support, v1, v2 = _hull_views(p1_ref, p2_ref, block)
     support_ab = _make_hull_support_ab(*v1, *v2,
-                                       lax.broadcasted_iota(jnp.int32, (p1_ref.shape[0], block), 0),
-                                       lax.broadcasted_iota(jnp.int32, (p2_ref.shape[0], block), 0))
+                                       lax.broadcasted_iota(jnp.int32, (p1_ref.shape[1], block), 0),
+                                       lax.broadcasted_iota(jnp.int32, (p2_ref.shape[1], block), 0))
     eps = cfg.eps_coincide
     eps_rel = 1e-6
     zero = pzero(block)
@@ -1188,7 +1203,7 @@ def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters):
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "max_iters",
                                              "interpret"))
 def fused_gjk_distance_hulls(p1, p2, cfg: GJKEPAConfig | None = None,
-                             block: int = 128, max_iters: int = 64,
+                             block: int = 512, max_iters: int = 64,
                              interpret: bool = False):
     """Fused distance-GJK over hull pairs: (distance, point_a, point_b,
     intersecting, iters) — the BASELINE config-2 capability at kernel speed."""
@@ -1196,17 +1211,22 @@ def fused_gjk_distance_hulls(p1, p2, cfg: GJKEPAConfig | None = None,
         cfg = GJKEPAConfig.for_f32()
     b, n1 = p1.shape[0], p1.shape[1]
     n2 = p2.shape[1]
+    if b % 128 != 0:
+        raise ValueError(f"batch {b} must be a multiple of 128 (lane width)")
+    block = min(block, b)
     if b % block != 0:
-        raise ValueError(f"batch {b} not a multiple of block {block}")
+        block = 128
     nb = b // block
-    p1t = jnp.swapaxes(p1.reshape(nb, block, n1 * 3), 1, 2).reshape(
-        nb, n1, 3, block)
-    p2t = jnp.swapaxes(p2.reshape(nb, block, n2 * 3), 1, 2).reshape(
-        nb, n2, 3, block)
+    def to_kernel_layout(p, n):
+        flat = jnp.swapaxes(p.reshape(nb, block, n * 3), 1, 2)
+        return flat.reshape(nb, n, 3, block).swapaxes(1, 2)
+
+    p1t = to_kernel_layout(p1, n1)
+    p2t = to_kernel_layout(p2, n2)
     specs = [
-        pl.BlockSpec((1, n1, 3, block), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, 3, n1, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n2, 3, block), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, 3, n2, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -1217,7 +1237,10 @@ def fused_gjk_distance_hulls(p1, p2, cfg: GJKEPAConfig | None = None,
     out = pl.pallas_call(
         wrap, grid=(nb,),
         out_shape=jax.ShapeDtypeStruct((nb, 16, block), jnp.float32),
-        in_specs=specs, out_specs=_vecspec(16, block), interpret=interpret,
+        in_specs=specs, out_specs=_vecspec(16, block),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(p1t, p2t)
 
     def row(i):
