@@ -201,8 +201,33 @@ def collide_shapes_batch(a, b, cfg: GJKEPAConfig = DEFAULT_CONFIG,
 
     args = (a.kind, a.params, a.pos, a.rot, b.kind, b.params, b.pos, b.rot)
     if chunk_size is None:
-        return jax.vmap(one)(*args)
-    return jax.lax.map(lambda xs: one(*xs), args, batch_size=chunk_size)
+        res = jax.vmap(one)(*args)
+    else:
+        res = jax.lax.map(lambda xs: one(*xs), args, batch_size=chunk_size)
+
+    # Exact closed form for sphere-sphere pairs (EPA's polyhedral
+    # approximation carries ~1e-4*R depth error on smooth shapes; the
+    # sphere-sphere answer is analytic).
+    from .models.shapes import SPHERE
+
+    both_spheres = (a.kind == SPHERE) & (b.kind == SPHERE)
+    delta = b.pos - a.pos
+    dist = jnp.linalg.norm(delta, axis=1)
+    safe = jnp.maximum(dist, 1e-20)
+    n_exact = delta / safe[:, None]
+    depth_exact = a.params[:, 0] + b.params[:, 0] - dist
+    sphere_hit = both_spheres & (depth_exact > 0.0) & res.hit
+    pa = a.pos + n_exact * a.params[:, 0:1]
+    pb = b.pos - n_exact * b.params[:, 0:1]
+    m1 = sphere_hit[:, None]
+    return res._replace(
+        depth=jnp.where(sphere_hit, depth_exact, res.depth),
+        normal=jnp.where(m1, n_exact, res.normal),
+        contact_point=jnp.where(m1, 0.5 * (pa + pb), res.contact_point),
+        nearest_points=jnp.where(sphere_hit[:, None, None],
+                                 jnp.stack([pa, pb], axis=1),
+                                 res.nearest_points),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk_size"))

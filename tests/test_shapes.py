@@ -149,3 +149,19 @@ class TestMixedHullShape:
         if m.any():
             np.testing.assert_allclose(np.asarray(r_mixed.depth)[m],
                                        np.asarray(r_hull.depth)[m], atol=1e-6)
+
+
+def test_sphere_sphere_exact_depth():
+    """Sphere-sphere pairs bypass EPA's polyhedral approximation."""
+    import jax.numpy as jnp
+    a = spheres([1.0, 0.7], pos=np.zeros((2, 3)), dtype=jnp.float64)
+    b = spheres([1.0, 0.7], pos=np.array([[0.5, 0, 0], [0.0, 1.1, 0]]),
+                dtype=jnp.float64)
+    r = collide_shapes_batch(a, b)
+    assert float(r.depth[0]) == pytest.approx(1.5, abs=1e-12)
+    assert float(r.depth[1]) == pytest.approx(0.3, abs=1e-12)
+    np.testing.assert_allclose(np.asarray(r.normal[0]), [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r.normal[1]), [0, 1, 0], atol=1e-12)
+    # witnesses on each surface
+    np.testing.assert_allclose(np.asarray(r.nearest_points[0]),
+                               [[1, 0, 0], [-0.5, 0, 0]], atol=1e-12)
