@@ -8,11 +8,18 @@ batch (config 3), matching BASELINE.json's "pair queries/sec at 64k batch".
 vs_baseline is measured against the 50M q/s north-star target (the
 reference publishes no numbers of its own — BASELINE.md).
 
-Timing methodology: on this environment the TPU sits behind a tunnel whose
-host<->device round-trip costs ~30 ms and whose `block_until_ready` does
-not reliably block, so each measurement enqueues K dependent iterations and
-host-syncs ONCE on a scalar reduction of the accumulated outputs; the
-single round-trip is subtracted and the rest divided by K.
+Timing methodology (measured properties of this box's axon tunnel):
+  - `block_until_ready` does not reliably block; the only safe sync is a
+    host read of a scalar reduction of the results.
+  - wall(K calls + 1 sync) = K * per_call + noise, where the noise term
+    (sync + pipeline-fill effects) fluctuates by tens of ms run-to-run.
+  - every program has a per-PROGRAM warmup of ~30-50 calls before per_call
+    stabilizes (first calls read 5-40x high).
+So each measurement (a) warms the program with async calls, then (b) times
+runs of K and 2K calls (min over repeats), doubling K until the differenced
+window (T(2K)-T(K)) is >= 250 ms, and reports (T(2K)-T(K))/K — the noise
+term cancels in the difference and is <4% of the window.  This is the
+steady-state per-call cost, i.e. what a pipelined caller pays per batch.
 
 Run directly on the TPU (no platform override).  Detail lines go to stderr.
 """
@@ -23,30 +30,44 @@ import time
 
 import numpy as np
 
-SYNC_S = 0.030  # one tunnel round-trip (measured; subtracted from totals)
-
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def timeit(fn, probe, iters=10):
-    """Per-call seconds of fn(), amortizing the host sync over `iters`.
+def _run(fn, probe, k):
+    import jax.numpy as jnp
+
+    acc = None
+    t0 = time.perf_counter()
+    for _ in range(k):
+        p = probe(fn())
+        acc = p if acc is None else acc + p
+    float(jnp.sum(acc))  # the single host sync
+    return time.perf_counter() - t0
+
+
+def timeit(fn, probe, reps=2, warmup=30, min_window_s=0.25, k0=4, kmax=2048):
+    """Steady-state per-call seconds of fn() (adaptive differencing; see
+    module docstring).
 
     `probe(result)` maps a result to an array that is accumulated and
-    reduced to one host scalar (the only sync point).
+    reduced to one host scalar (the only sync point per run).
     """
     import jax.numpy as jnp
 
-    float(jnp.sum(probe(fn())))  # warm (compile) + sync
-    t0 = time.perf_counter()
-    acc = None
-    for _ in range(iters):
-        p = probe(fn())
-        acc = p if acc is None else acc + p
-    float(jnp.sum(acc))
-    total = time.perf_counter() - t0
-    return max(total - SYNC_S, 1e-9) / iters
+    float(jnp.sum(probe(fn())))  # compile + sync
+    for _ in range(warmup):
+        probe(fn())              # async per-program warmup
+    float(jnp.sum(probe(fn())))
+    k = k0
+    t_a = min(_run(fn, probe, k) for _ in range(reps))
+    while True:
+        t_b = min(_run(fn, probe, 2 * k) for _ in range(reps))
+        if (t_b - t_a) >= min_window_s or 2 * k >= kmax:
+            return max((t_b - t_a) / k, 1e-9)
+        k *= 2
+        t_a = t_b
 
 
 def random_hulls(rng, b, n, spread=0.8, dtype=np.float32):
@@ -81,23 +102,28 @@ def main():
                         for z in (-half, half)], np.float32)
     c1 = jnp.asarray(corners)
     c2 = jnp.asarray(corners + np.array([0.5, 0, 0], np.float32))
-    t = timeit(lambda: gjkepa(c1, c2, cfg=cfg), lambda r: r.depth, iters=20)
+    t = timeit(lambda: gjkepa(c1, c2, cfg=cfg), lambda r: r.depth)
     r = gjkepa(c1, c2, cfg=cfg)
     assert bool(r.hit) and abs(float(r.depth) - 0.5) < 1e-4, (
         float(r.depth), int(r.status))
+    # one-shot (unpipelined) latency includes the tunnel sync; report both
+    t_sync = min(_run(lambda: gjkepa(c1, c2, cfg=cfg), lambda r: r.depth, 1)
+                 for _ in range(5))
     results["c1_single_pair_latency_us"] = t * 1e6
-    log(f"config1 single-pair latency: {t*1e6:.1f} us (depth={float(r.depth):.6f})")
+    results["c1_single_pair_sync_latency_us"] = t_sync * 1e6
+    log(f"config1 single-pair latency: {t*1e6:.1f} us pipelined, "
+        f"{t_sync*1e6:.1f} us incl. host sync (depth={float(r.depth):.6f})")
 
     # ---- config 2: 4k x 64-vertex hull pairs, boolean + distance ----------
     B2, N2 = 4096, 64
     p1 = jnp.asarray(random_hulls(rng, B2, N2))
     p2 = jnp.asarray(random_hulls(rng, B2, N2))
-    gjk_cfg = cfg.replace(epa_max_iters=0)
+    gjk_cfg = cfg.replace(epa_max_iters=0)  # boolean-only: one GJK kernel
     t_bool = timeit(lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=512),
                     lambda r: r.gjk_iters.astype(jnp.float32))
     from gjkepa_tpu.ops.fused import fused_gjk_distance_hulls
     t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg, block=512),
-                    lambda r: r.distance, iters=5)
+                    lambda r: r.distance)
     results["c2_hull4k_bool_qps"] = B2 / t_bool
     results["c2_hull4k_dist_qps"] = B2 / t_dist
     log(f"config2 4k x 64-vert hulls: bool {B2/t_bool/1e6:.2f}M q/s, "
@@ -131,7 +157,7 @@ def main():
     small += rng.normal(size=(B4, 1, 3)).astype(np.float32) * 0.2
     p41, p42 = jnp.asarray(big), jnp.asarray(small)
     t4 = timeit(lambda: fused_gjkepa_hulls(p41, p42, cfg=cfg, block=512),
-                lambda r: r.depth, iters=5)
+                lambda r: r.depth, warmup=25, k0=2)
     r4 = fused_gjkepa_hulls(p41, p42, cfg=cfg, block=512)
     hit_frac = float(jnp.mean(r4.hit.astype(jnp.float32)))
     results["c4_deep16k_qps"] = B4 / t4
@@ -150,7 +176,8 @@ def main():
             s, _ = sim_step(s, scfg)
         return s
 
-    t5 = timeit(lambda: steps10(state), lambda s: s.pos, iters=2) / 10
+    t5 = timeit(lambda: steps10(state), lambda s: s.pos,
+                warmup=6, k0=1) / 10
     results["c5_sim1024_steps_per_sec"] = 1.0 / t5
     log(f"config5 1024-box sim: {1.0/t5:.1f} steps/s")
 

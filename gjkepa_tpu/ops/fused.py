@@ -682,7 +682,11 @@ def _cascade_cfgs(cfg):
     """EPA cascade: a cheap small-cap pass (cost ~F^2 per iteration) for
     everyone, then the full-cap pass only for lanes the small pass reports
     capacity-degenerate (typically ~0.1%).  Observable results are those of
-    the full-cap EPA."""
+    the full-cap EPA.  epa_max_iters == 0 means boolean-only mode: no EPA
+    kernels at all (the reference's GJK phase alone answers hit/miss,
+    ref :178-236)."""
+    if cfg.epa_max_iters == 0:
+        return []
     small_v, small_f = 24, 48
     if cfg.epa_max_verts <= small_v or cfg.epa_max_faces <= small_f:
         return [cfg]
@@ -707,6 +711,10 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     reports capacity-degenerate (status HIT_EPA_DEGENERATE) are re-run by
     the next kernel (larger caps), and so on.  Outputs are scattered back.
 
+    `epa_kernels` may be empty (boolean-only mode: the reference's miss
+    path never enters EPA, ref :76-77,182-236): the GJK kernel result is
+    returned directly with zero depth/normal and no EPA dispatch at all.
+
     `geom_arrays` are the pre-transposed per-pair geometry inputs whose
     leading dim is nb and whose LAST dim is the lane (pair) dim.
     """
@@ -725,6 +733,18 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
 
     gflat = jnp.swapaxes(gout, 1, 2).reshape(b, 24)          # (B, 24)
     hit = gflat[:, 0] > 0.5
+
+    if not epa_kernels:  # boolean-only: one kernel launch, nothing else
+        zero = jnp.zeros((b,), jnp.float32)
+        return FusedResult(
+            hit=hit,
+            status=gflat[:, 1].astype(jnp.int32),
+            depth=zero,
+            normal=jnp.zeros((b, 3), jnp.float32),
+            gjk_iters=gflat[:, 2].astype(jnp.int32),
+            epa_iters=jnp.zeros((b,), jnp.int32),
+            distance=gflat[:, 3],
+        )
 
     def permute_geom(arr, order):
         # (nb, *feat, block) -> flat pair-major -> permuted -> back.
