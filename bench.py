@@ -47,7 +47,7 @@ def _run(fn, probe, k):
     return time.perf_counter() - t0
 
 
-def timeit(fn, probe, reps=2, warmup=30, min_window_s=0.25, k0=4, kmax=2048):
+def timeit(fn, probe, reps=3, warmup=30, min_window_s=0.4, k0=4, kmax=4096):
     """Steady-state per-call seconds of fn() (adaptive differencing; see
     module docstring).
 
@@ -102,7 +102,7 @@ def main():
                         for z in (-half, half)], np.float32)
     c1 = jnp.asarray(corners)
     c2 = jnp.asarray(corners + np.array([0.5, 0, 0], np.float32))
-    t = timeit(lambda: gjkepa(c1, c2, cfg=cfg), lambda r: r.depth)
+    t = timeit(lambda: gjkepa(c1, c2, cfg=cfg), lambda r: r.depth, reps=4)
     r = gjkepa(c1, c2, cfg=cfg)
     assert bool(r.hit) and abs(float(r.depth) - 0.5) < 1e-4, (
         float(r.depth), int(r.status))
