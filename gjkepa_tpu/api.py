@@ -216,7 +216,9 @@ def collide_shapes_batch(a, b, cfg: GJKEPAConfig = DEFAULT_CONFIG,
     safe = jnp.maximum(dist, 1e-20)
     n_exact = delta / safe[:, None]
     depth_exact = a.params[:, 0] + b.params[:, 0] - dist
-    sphere_hit = both_spheres & (depth_exact > 0.0) & res.hit
+    # exactly-concentric spheres have no defined axis: keep the generic EPA
+    # normal there instead of the degenerate delta/eps zero vector
+    sphere_hit = both_spheres & (depth_exact > 0.0) & res.hit & (dist > 1e-9)
     pa = a.pos + n_exact * a.params[:, 0:1]
     pb = b.pos - n_exact * b.params[:, 0:1]
     m1 = sphere_hit[:, None]

@@ -41,26 +41,36 @@ def sphere_envelope_overlap(p1, p2, mask1=None, mask2=None, tol: float = 1.0):
 def grid_candidate_pairs(centers, radii, cell_size: float, max_pairs: int):
     """Broadphase candidate-pair generation over body bounding spheres.
 
-    Emits up to `max_pairs` candidate (i, j) pairs whose inflated spheres
-    overlap, as a fixed-shape (max_pairs, 2) int32 buffer + validity mask;
-    also returns the true candidate count so callers can detect overflow.
+    Emits up to `max_pairs` candidate (i, j) pairs (j > i) whose inflated
+    spheres overlap, as a fixed-shape (<= max_pairs, 2) int32 buffer +
+    validity mask; also returns the true candidate count so callers can
+    detect overflow (pairs beyond the per-row budget are dropped).
 
-    For sim-scale n (O(1k) bodies) this is an O(n^2) masked sweep: on TPU a
-    1k x 1k distance matrix is ~1M lanes of cheap VPU work and one argsort,
-    which beats gather-heavy hash-grid probing by a wide margin.  `cell_size`
-    inflates the acceptance radius the way a one-cell grid neighborhood
-    would, so narrowphase sees the same candidate set a classic uniform grid
-    produces.
+    For sim-scale n (O(1k) bodies) this is an O(n^2) masked sweep compacted
+    ROW-WISE with cumsums: each body i gets up to K = max_pairs // n pair
+    slots, and the k-th candidate j in row i is located arithmetically
+    (count of prefix-cumsum entries < k+1).  Everything is 2-D vector work —
+    no argsort, no gathers; a global sort-based compaction of the n^2/2
+    candidate mask costs tens of ms on TPU, this costs tens of us.
+    `cell_size` inflates the acceptance radius the way a one-cell grid
+    neighborhood would, so narrowphase sees the same candidate set a
+    classic uniform grid produces.
     """
     n = centers.shape[0]
+    k_cap = max(1, max_pairs // n)
     dist = jnp.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=-1)
     rsum = radii[:, None] + radii[None, :]
-    iu = jnp.triu_indices(n, k=1)
-    cand = dist[iu] <= rsum[iu] + cell_size
-    # compact candidate pairs to the front of a fixed buffer
-    order = jnp.argsort(~cand)
-    ii = iu[0][order][:max_pairs]
-    jj = iu[1][order][:max_pairs]
-    valid = cand[order][:max_pairs]
-    pairs = jnp.stack([ii, jj], axis=1).astype(jnp.int32)
-    return pairs, valid, jnp.sum(cand)
+    upper = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
+    cand = upper & (dist <= rsum + cell_size)                    # (n, n)
+    cum = jnp.cumsum(cand.astype(jnp.int32), axis=1)             # per-row
+    nrow = cum[:, -1]                                            # (n,)
+    cols = []
+    for k in range(k_cap):
+        # column of the k-th (0-based) candidate in each row
+        cols.append(jnp.sum((cum < k + 1).astype(jnp.int32), axis=1))
+    jj = jnp.stack(cols, axis=1)                                  # (n, K)
+    jj = jnp.minimum(jj, n - 1)
+    ii = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k_cap))
+    valid = jnp.arange(k_cap)[None, :] < nrow[:, None]            # (n, K)
+    pairs = jnp.stack([ii.reshape(-1), jj.reshape(-1)], axis=1).astype(jnp.int32)
+    return pairs, valid.reshape(-1), jnp.sum(cand)

@@ -52,7 +52,8 @@ _SEED_FACES = jnp.array([[0, 1, 2], [0, 2, 3], [0, 1, 3], [1, 2, 3]], dtype=jnp.
 
 class EPAResult(NamedTuple):
     depth: jnp.ndarray    # () penetration depth
-    normal: jnp.ndarray   # (3,) contact normal (points from B toward A side)
+    normal: jnp.ndarray   # (3,) contact normal, points from A toward B
+    #                       (translating B by depth*normal separates the pair)
     iters: jnp.ndarray    # int32 expansion iterations used
     status: jnp.ndarray   # int32 Status (HIT / HIT_EPA_CAP / HIT_EPA_DEGENERATE)
 

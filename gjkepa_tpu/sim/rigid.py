@@ -149,8 +149,12 @@ def _pair_contacts(state: SimState, rot, pairs, valid, cfg: GJKEPAConfig):
         return jnp.einsum("pij,pkj->pki", r, local) + t[:, None, :]
 
     i_all, j_all = pairs[:, 0], pairs[:, 1]
-    res = fused_gjkepa_hulls(corners(i_all), corners(j_all), cfg=cfg,
-                             block=block, use_broadphase=True)
+    # Invalid candidate lanes (and the zero-padded (0,0) self-pairs, which
+    # would otherwise register as guaranteed deep hits and grind through
+    # EPA) are displaced out of broadphase range so they retire in-kernel.
+    displace = jnp.where(valid_k, 0.0, 4e4).astype(dtype)[:, None, None]
+    res = fused_gjkepa_hulls(corners(i_all), corners(j_all) + displace,
+                             cfg=cfg, block=block, use_broadphase=True)
     hit = res.hit[:p] & valid
     normal = res.normal[:p]
     i_idx, j_idx = i_all[:p], j_all[:p]
@@ -166,6 +170,84 @@ def _pair_contacts(state: SimState, rot, pairs, valid, cfg: GJKEPAConfig):
 
     point = jax.vmap(witness)(i_idx, j_idx, normal)
     return hit, res.depth[:p], normal, point
+
+
+def _box_manifold(state: SimState, rot, pairs, hit, depth, normal, point):
+    """Up to 4 contact points per box-box pair (face clip manifold).
+
+    The reference emits exactly ONE contact point per query
+    (GCLIB_GJKEPA.f90:329-340); single-point box-box contacts make stacks
+    only marginally stable, so the sim extends it (VERDICT round-1 item 6):
+    pick the REFERENCE box (face normal best aligned with the EPA contact
+    normal), take the INCIDENT box's most anti-parallel face, clamp its 4
+    corners laterally into the reference face rectangle, and keep the
+    corners that penetrate the reference plane, each with its own depth.
+    Edge/vertex contacts (no corner qualifies) fall back to the single EPA
+    witness point.
+
+    Returns (points (P,4,3), depths (P,4), mask (P,4)).
+    """
+    dtype = state.pos.dtype
+    i_idx, j_idx = pairs[:, 0], pairs[:, 1]
+    Ra, Rb = rot[i_idx], rot[j_idx]          # columns = world axes
+    ha, hb = state.half[i_idx], state.half[j_idx]
+    pa, pb = state.pos[i_idx], state.pos[j_idx]
+    n = normal                                # A -> B
+
+    ca = jnp.abs(jnp.einsum("pij,pi->pj", Ra, n))
+    cb = jnp.abs(jnp.einsum("pij,pi->pj", Rb, n))
+    ref_is_a = jnp.max(ca, axis=1) >= jnp.max(cb, axis=1)
+
+    sel3 = ref_is_a[:, None]
+    R_ref = jnp.where(ref_is_a[:, None, None], Ra, Rb)
+    h_ref = jnp.where(sel3, ha, hb)
+    p_ref = jnp.where(sel3, pa, pb)
+    R_inc = jnp.where(ref_is_a[:, None, None], Rb, Ra)
+    h_inc = jnp.where(sel3, hb, ha)
+    p_inc = jnp.where(sel3, pb, pa)
+    n_ref = jnp.where(sel3, n, -n)            # outward from the ref box
+
+    d_ref = jnp.einsum("pij,pi->pj", R_ref, n_ref)
+    ax_r = jnp.argmax(jnp.abs(d_ref), axis=1)
+    oh_r = jax.nn.one_hot(ax_r, 3, dtype=dtype)
+    sgn_r = jnp.sign(jnp.sum(d_ref * oh_r, axis=1))
+    sgn_r = jnp.where(sgn_r == 0, 1.0, sgn_r)
+    face_center = p_ref + jnp.einsum(
+        "pij,pj->pi", R_ref, (sgn_r[:, None] * h_ref) * oh_r)
+    s_plane = jnp.einsum("pi,pi->p", n_ref, face_center)
+
+    d_inc = jnp.einsum("pij,pi->pj", R_inc, n_ref)
+    ax_i = jnp.argmax(jnp.abs(d_inc), axis=1)
+    oh_i = jax.nn.one_hot(ax_i, 3, dtype=dtype)
+    sgn_i = -jnp.sign(jnp.sum(d_inc * oh_i, axis=1))  # face FACING the ref
+    sgn_i = jnp.where(sgn_i == 0, 1.0, sgn_i)
+    t1 = jax.nn.one_hot((ax_i + 1) % 3, 3, dtype=dtype)
+    t2 = jax.nn.one_hot((ax_i + 2) % 3, 3, dtype=dtype)
+
+    pts, dps, ok = [], [], []
+    for s1 in (-1.0, 1.0):
+        for s2 in (-1.0, 1.0):
+            local = (sgn_i[:, None] * oh_i + s1 * t1 + s2 * t2) * h_inc
+            corner = p_inc + jnp.einsum("pij,pj->pi", R_inc, local)
+            dep = s_plane - jnp.einsum("pi,pi->p", n_ref, corner)
+            # lateral clamp into the reference face rectangle + project
+            cl = jnp.einsum("pij,pi->pj", R_ref, corner - p_ref)
+            cl = jnp.clip(cl, -h_ref, h_ref)
+            cl = cl * (1.0 - oh_r) + (sgn_r[:, None] * h_ref) * oh_r
+            pts.append(p_ref + jnp.einsum("pij,pj->pi", R_ref, cl))
+            dps.append(jnp.maximum(dep, 0.0))
+            ok.append(dep > 0.0)
+    points = jnp.stack(pts, axis=1)           # (P,4,3)
+    depths = jnp.stack(dps, axis=1)           # (P,4)
+    mask = jnp.stack(ok, axis=1) & hit[:, None]
+
+    # fallback: single EPA witness point for edge/vertex contacts
+    none_valid = hit & ~jnp.any(mask, axis=1)
+    points = points.at[:, 0, :].set(
+        jnp.where(none_valid[:, None], point, points[:, 0, :]))
+    depths = depths.at[:, 0].set(jnp.where(none_valid, depth, depths[:, 0]))
+    mask = mask.at[:, 0].set(mask[:, 0] | none_valid)
+    return points, depths, mask
 
 
 @functools.partial(jax.jit, static_argnames=("scfg", "cfg"))
@@ -190,6 +272,9 @@ def sim_step(state: SimState, scfg: SimConfig = SimConfig(),
     # ---- narrowphase -----------------------------------------------------
     hit, depth, normal, point = _pair_contacts(state, rot, pairs, valid, cfg)
     contact = hit & valid
+    mpoints, mdepths, mmask = _box_manifold(state, rot, pairs, hit, depth,
+                                            normal, point)
+    mmask = mmask & valid[:, None]
 
     # ---- ground contacts: deepest corner of each box ---------------------
     corners = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
@@ -206,69 +291,128 @@ def sim_step(state: SimState, scfg: SimConfig = SimConfig(),
 
     # ---- sequential impulses ----------------------------------------------
     inv_mass = 1.0 / (8.0 * state.half[:, 0] * state.half[:, 1] * state.half[:, 2])
-    # box inertia (diagonal in body frame; world approx via scalar — boxes
-    # are near-cubes here).  I = m/12 * (h_j^2 + h_k^2), use mean.
+    # box inertia: diagonal in the body frame, I_k = m/12 * sum_{j!=k} (2h_j)^2;
+    # world-frame inverse tensor I_w^-1 = R diag(1/I_body) R^T, per step
     ext2 = (2 * state.half) ** 2
-    inertia = (1.0 / inv_mass) / 12.0 * (ext2.sum(axis=1) - ext2.mean(axis=1))
-    inv_inertia = 1.0 / inertia
+    i_body = (1.0 / inv_mass)[:, None] / 12.0 * (ext2.sum(axis=1, keepdims=True)
+                                                 - ext2)
+    inv_iw = jnp.einsum("nij,nj,nkj->nik", rot, 1.0 / i_body, rot)  # (N,3,3)
+
+    def ang_term(inv_i, r, d):
+        """dot(cross(r,d), I^-1 cross(r,d)) — the angular part of the
+        effective mass along direction d at offset r."""
+        c = jnp.cross(r, d)
+        return jnp.einsum("pi,pij,pj->p", c, inv_i, c)
 
     i_idx, j_idx = pairs[:, 0], pairs[:, 1]
     bias = scfg.baumgarte / dt
 
+    # Body<->pair data movement as one-hot MXU matmuls: TPU XLA lowers
+    # dynamic gathers/scatter-adds over thousands of rows to serialized
+    # DMAs (ms each), while an (N,P)x(P,3) contraction is microseconds of
+    # systolic-array work.  oh_* are built once per step.
+    nbody = n
+    oh_i = (i_idx[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)  # (P,N)
+    oh_j = (j_idx[:, None] == jnp.arange(nbody)[None, :]).astype(dtype)
+
+    def gather_pairs(body_vals):            # (N,...) -> (P,...) via MXU
+        flat = body_vals.reshape(nbody, -1)
+        out = oh_i @ flat, oh_j @ flat
+        return (out[0].reshape((-1,) + body_vals.shape[1:]),
+                out[1].reshape((-1,) + body_vals.shape[1:]))
+
+    def scatter_add(oh, pair_vals):          # (P,3) -> (N,3) via MXU
+        return jnp.einsum("pn,pi->ni", oh, pair_vals,
+                          preferred_element_type=dtype)
+
+    pos_i, pos_j = gather_pairs(state.pos)
+    invm_i, invm_j = gather_pairs(inv_mass[:, None])
+    invm_i, invm_j = invm_i[:, 0], invm_j[:, 0]
+    invI_i, invI_j = gather_pairs(inv_iw)
+
+    # restitution targets from the PRE-solve approach velocities (standard
+    # Newton model: post-solve separation velocity = e * approach speed),
+    # per manifold point
+    vel_i0, vel_j0 = gather_pairs(vel)
+    av_i0, av_j0 = gather_pairs(angvel)
+
+    def _rest_slot(s):
+        ra0 = mpoints[:, s] - pos_i
+        rb0 = mpoints[:, s] - pos_j
+        rel0 = (vel_j0 + jnp.cross(av_j0, rb0) - vel_i0 - jnp.cross(av_i0, ra0))
+        vn0 = jnp.einsum("ij,ij->i", rel0, normal)
+        return scfg.restitution * jnp.maximum(-vn0, 0.0)
+
+    rest_pair = [_rest_slot(s) for s in range(4)]
+    g_rg0 = g_point - state.pos
+    vn_g0 = (vel + jnp.cross(angvel, g_rg0))[:, 2]
+    rest_ground = scfg.restitution * jnp.maximum(-vn_g0, 0.0)
+
     def solve(carry, _):
         vel, angvel = carry
+        vel_i, vel_j = gather_pairs(vel)
+        av_i, av_j = gather_pairs(angvel)
 
-        # --- pair contacts ---
-        ra = point - state.pos[i_idx]
-        rb = point - state.pos[j_idx]
-        va = vel[i_idx] + jnp.cross(angvel[i_idx], ra)
-        vb = vel[j_idx] + jnp.cross(angvel[j_idx], rb)
-        # normal points from the min EPA face outward (separates A from B by
-        # moving B along +normal), so relative approach velocity is
-        # dot(vb - va, -normal) ... contact impulse pushes B along +normal.
-        rel = vb - va
-        vn = jnp.einsum("ij,ij->i", rel, normal)
-        k_n = (inv_mass[i_idx] + inv_mass[j_idx]
-               + inv_inertia[i_idx] * jnp.einsum(
-                   "ij,ij->i", jnp.cross(ra, normal), jnp.cross(ra, normal))
-               + inv_inertia[j_idx] * jnp.einsum(
-                   "ij,ij->i", jnp.cross(rb, normal), jnp.cross(rb, normal)))
-        jn = (-vn + bias * depth) / jnp.maximum(k_n, 1e-6)
-        jn = jnp.where(contact, jnp.maximum(jn, 0.0), 0.0)
-        imp = jn[:, None] * normal
+        # --- pair contacts: up to 4 manifold points per pair, solved
+        # Jacobi within the iteration (impulses from iteration-start
+        # velocities, applied together) so the whole update is two MXU
+        # contractions instead of 4x8 serialized scatter-adds ---
+        imp_sum = jnp.zeros_like(normal)          # total impulse on body B
+        tau_a = jnp.zeros_like(normal)            # total torque on body A
+        tau_b = jnp.zeros_like(normal)
+        for s in range(4):
+            cpoint = mpoints[:, s]
+            cdepth = mdepths[:, s]
+            cmask = mmask[:, s]
+            ra = cpoint - pos_i
+            rb = cpoint - pos_j
+            va = vel_i + jnp.cross(av_i, ra)
+            vb = vel_j + jnp.cross(av_j, rb)
+            # normal points A->B (moving B along +normal separates), so the
+            # contact impulse pushes B along +normal
+            rel = vb - va
+            vn = jnp.einsum("ij,ij->i", rel, normal)
+            k_n = (invm_i + invm_j
+                   + ang_term(invI_i, ra, normal)
+                   + ang_term(invI_j, rb, normal))
+            # velocity bias = max(Baumgarte, restitution): summing them
+            # injects energy (a bounce would overshoot its drop height)
+            jn = (-vn + jnp.maximum(bias * cdepth, rest_pair[s])) \
+                / jnp.maximum(k_n, 1e-6)
+            jn = jnp.where(cmask, jnp.maximum(jn, 0.0), 0.0)
+            imp = jn[:, None] * normal
 
-        vel = vel.at[i_idx].add(-imp * inv_mass[i_idx, None])
-        vel = vel.at[j_idx].add(imp * inv_mass[j_idx, None])
-        angvel = angvel.at[i_idx].add(-inv_inertia[i_idx, None] * jnp.cross(ra, imp))
-        angvel = angvel.at[j_idx].add(inv_inertia[j_idx, None] * jnp.cross(rb, imp))
+            # --- friction (Coulomb clamp on the tangential relative vel) ---
+            vt_rel = rel - vn[:, None] * normal
+            vt_n = jnp.linalg.norm(vt_rel, axis=1)
+            jt = jnp.where(cmask,
+                           jnp.minimum(vt_n / jnp.maximum(k_n, 1e-6),
+                                       scfg.friction * jn), 0.0)
+            t_dirp = -vt_rel / jnp.maximum(vt_n, 1e-6)[:, None]
+            imp_all = imp + jt[:, None] * t_dirp
+            imp_sum = imp_sum + imp_all
+            tau_a = tau_a + jnp.cross(ra, -imp_all)
+            tau_b = tau_b + jnp.cross(rb, imp_all)
 
-        # --- pair friction (Coulomb clamp on the tangential relative vel) ---
-        vt_rel = rel - vn[:, None] * normal
-        vt_n = jnp.linalg.norm(vt_rel, axis=1)
-        jt = jnp.where(contact,
-                       jnp.minimum(vt_n / jnp.maximum(k_n, 1e-6),
-                                   scfg.friction * jn), 0.0)
-        t_dirp = -vt_rel / jnp.maximum(vt_n, 1e-6)[:, None]
-        imp_tp = jt[:, None] * t_dirp
-        vel = vel.at[i_idx].add(-imp_tp * inv_mass[i_idx, None])
-        vel = vel.at[j_idx].add(imp_tp * inv_mass[j_idx, None])
-        angvel = angvel.at[i_idx].add(-inv_inertia[i_idx, None]
-                                      * jnp.cross(ra, imp_tp))
-        angvel = angvel.at[j_idx].add(inv_inertia[j_idx, None]
-                                      * jnp.cross(rb, imp_tp))
+        dv = (scatter_add(oh_j, imp_sum) - scatter_add(oh_i, imp_sum))
+        dtau = scatter_add(oh_i, tau_a) + scatter_add(oh_j, tau_b)
+        vel = vel + dv * inv_mass[:, None]
+        angvel = angvel + jnp.einsum("nij,nj->ni", inv_iw, dtau)
 
         # --- ground contacts (static plane, normal +z) ---
+        zhat = jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
         rg = g_point - state.pos
         vg = vel + jnp.cross(angvel, rg)
         vn_g = vg[:, 2]
-        k_g = inv_mass + inv_inertia * jnp.einsum(
-            "ij,ij->i", jnp.cross(rg, jnp.array([0.0, 0.0, 1.0], dtype)[None, :]),
-            jnp.cross(rg, jnp.array([0.0, 0.0, 1.0], dtype)[None, :]))
-        jg = jnp.where(g_hit, jnp.maximum(-vn_g + bias * g_pen, 0.0)
+        k_g = inv_mass + ang_term(inv_iw, rg, jnp.broadcast_to(zhat, rg.shape))
+        jg = jnp.where(g_hit,
+                       jnp.maximum(-vn_g + jnp.maximum(bias * g_pen,
+                                                       rest_ground), 0.0)
                        / jnp.maximum(k_g, 1e-6), 0.0)
-        imp_g = jg[:, None] * jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
+        imp_g = jg[:, None] * zhat
         vel = vel + imp_g * inv_mass[:, None]
-        angvel = angvel + inv_inertia[:, None] * jnp.cross(rg, imp_g)
+        angvel = angvel + jnp.einsum("nij,nj->ni", inv_iw,
+                                     jnp.cross(rg, imp_g))
 
         # --- ground friction (tangential clamp) ---
         vt = vg.at[:, 2].set(0.0)
@@ -278,7 +422,8 @@ def sim_step(state: SimState, scfg: SimConfig = SimConfig(),
         t_dir = -vt / jnp.maximum(vt_norm, 1e-6)[:, None]
         imp_t = jt[:, None] * t_dir
         vel = vel + imp_t * inv_mass[:, None]
-        angvel = angvel + inv_inertia[:, None] * jnp.cross(rg, imp_t)
+        angvel = angvel + jnp.einsum("nij,nj->ni", inv_iw,
+                                     jnp.cross(rg, imp_t))
 
         return (vel, angvel), None
 

@@ -62,3 +62,26 @@ def test_stack_does_not_interpenetrate():
     # bottom box on the floor, top box roughly one box-height above
     assert abs(pos[0, 2] - 0.5) < 0.15
     assert pos[1, 2] > pos[0, 2] + 0.7
+
+
+def test_three_box_stack_stays_stable():
+    # VERDICT round-1 item 6: a 3-box stack must stay within tolerance for
+    # 300 steps — requires the face-clip contact manifold (single-point
+    # contacts make stacks only marginally stable).
+    half = jnp.full((3, 3), 0.5, jnp.float32)
+    state = SimState(
+        pos=jnp.array([[0.0, 0, 0.55], [0.0, 0, 1.6], [0.0, 0, 2.65]],
+                      jnp.float32),
+        quat=jnp.zeros((3, 4), jnp.float32).at[:, 0].set(1.0),
+        vel=jnp.zeros((3, 3), jnp.float32),
+        angvel=jnp.zeros((3, 3), jnp.float32),
+        half=half,
+    )
+    scfg = SimConfig(max_pairs=16)
+    s2, _ = run_steps(state, scfg, 300)
+    pos = np.asarray(s2.pos)
+    # stack order preserved with ~1-box spacing, no lateral walk-off
+    assert abs(pos[0, 2] - 0.5) < 0.15
+    assert abs(pos[1, 2] - 1.5) < 0.25
+    assert abs(pos[2, 2] - 2.5) < 0.35
+    assert np.abs(pos[:, :2]).max() < 0.3
