@@ -262,6 +262,8 @@ def gjk_distance_batch(
 def gjkepa_batch_fused(
     p1: jnp.ndarray,
     p2: jnp.ndarray,
+    mask1: jnp.ndarray | None = None,
+    mask2: jnp.ndarray | None = None,
     cfg: GJKEPAConfig | None = None,
     block: int = 128,
     interpret: bool = False,
@@ -271,19 +273,23 @@ def gjkepa_batch_fused(
     Runs the fused GJK+EPA kernels (two-phase, hit-sorted) and derives the
     reference's contact outputs (nearest points, contact point, type) with
     the XLA contact ops — the complete GJKEPA contract at kernel speed.
-    float32, hulls padded by repeating a real vertex (utils.hull.pad_hulls);
-    B must be a multiple of `block`.
+    float32; any B >= 1; ragged hulls via (B, N) masks or repeated-vertex
+    padding (utils.hull.pad_hulls) — equivalent.
     """
     from .ops.fused import fused_gjkepa_hulls  # deferred: pallas import
 
     if cfg is None:
         cfg = GJKEPAConfig.for_f32()
-    r = fused_gjkepa_hulls(p1, p2, cfg=cfg, block=block, interpret=interpret)
+    r = fused_gjkepa_hulls(p1, p2, mask1, mask2, cfg=cfg, block=block,
+                           interpret=interpret)
 
-    def one(a, b, nrm):
-        return derive_contact(a, b, nrm, cfg)
+    def one(a, b, nrm, m1, m2):
+        return derive_contact(a, b, nrm, cfg, m1, m2)
 
-    npts, cpoint, normal, ctype = jax.vmap(one)(p1, p2, r.normal)
+    in_axes = (0, 0, 0, None if mask1 is None else 0,
+               None if mask2 is None else 0)
+    npts, cpoint, normal, ctype = jax.vmap(one, in_axes=in_axes)(
+        p1, p2, r.normal, mask1, mask2)
     hit = r.hit
     zero3 = jnp.zeros((), p1.dtype)
     return CollisionResult(

@@ -1128,17 +1128,52 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     )
 
 
+def _mask_to_padding(p, mask):
+    """Replace masked-out vertices with the hull's first valid vertex.
+
+    A repeated vertex adds no geometry, so this is observably equivalent to
+    masking for every support-based quantity; and because padding rows sit
+    after the valid rows, first-max argmax tie-breaking (the reference's
+    strict-> scan, ref :1040-1057) picks the same index as the masked form.
+    """
+    if mask is None:
+        return p
+    first = jnp.argmax(mask, axis=1)                      # first valid row
+    fv = jnp.take_along_axis(p, first[:, None, None], axis=1)
+    return jnp.where(mask[:, :, None], p, fv)
+
+
+def _pad_batch(b, block, *arrays):
+    """Pad the pair axis up to a multiple of `block` (min 128) with lanes
+    displaced far apart so the in-kernel broadphase retires them; returns
+    (padded_arrays, padded_b).  Displacement goes on the LAST array."""
+    bp = max(block, 128)
+    pad = (-b) % bp
+    if pad == 0:
+        return arrays, b
+    out = []
+    for k, a in enumerate(arrays):
+        pad_rows = jnp.repeat(a[:1], pad, axis=0)
+        if k == len(arrays) - 1:
+            pad_rows = pad_rows + jnp.asarray(4e4, a.dtype)
+        out.append(jnp.concatenate([a, pad_rows], axis=0))
+    return tuple(out), b + pad
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "use_broadphase",
                                              "interpret", "sort_hits"))
-def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 512,
+def fused_gjkepa_hulls(p1, p2, mask1=None, mask2=None,
+                       cfg: GJKEPAConfig | None = None, block: int = 512,
                        use_broadphase: bool = True, interpret: bool = False,
                        sort_hits: bool = True) -> FusedResult:
     """Fused-kernel batch query over hull pairs (two-phase dispatch).
 
     Args:
-      p1, p2: (B, N, 3) float32 vertex buffers; pad ragged hulls by
-        repeating a real vertex (utils.hull.pad_hulls).  B must be a
-        multiple of `block`.
+      p1, p2: (B, N, 3) float32 vertex buffers.  Any B >= 1 (internally
+        padded to the lane width with broadphase-rejected lanes).  Ragged
+        hulls: pass per-vertex validity masks, or pre-pad by repeating a
+        real vertex (utils.hull.pad_hulls) — the two are equivalent.
+      mask1, mask2: optional (B, N) bool validity masks for padded rows.
       sort_hits: permute pairs between the GJK and EPA kernels so hit lanes
         share blocks — EPA cost then scales with the number of HITS, not
         the batch size.
@@ -1148,10 +1183,11 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 512
     stays in the XLA ops; feed them `normal` if needed.
     """
     cfg = _round_cfg(cfg)
-    b, n1 = p1.shape[0], p1.shape[1]
-    n2 = p2.shape[1]
-    if b % 128 != 0:
-        raise ValueError(f"batch {b} must be a multiple of 128 (lane width)")
+    p1 = _mask_to_padding(p1, mask1)
+    p2 = _mask_to_padding(p2, mask2)
+    b_user = p1.shape[0]
+    (p1, p2), b = _pad_batch(b_user, min(block, 128), p1, p2)
+    n1, n2 = p1.shape[1], p2.shape[1]
     block = min(block, b)
     if b % block != 0:
         block = 128
@@ -1190,8 +1226,11 @@ def fused_gjkepa_hulls(p1, p2, cfg: GJKEPAConfig | None = None, block: int = 512
         return epa_wrap
 
     epa_kernels = [mk_epa(k, c, kv) for k, c, kv in _cascade_plan(cfg)]
-    return _run_two_phase(gjk_wrap, epa_kernels, (p1t, p2t), specs, b, block,
-                          interpret, sort_hits)
+    res = _run_two_phase(gjk_wrap, epa_kernels, (p1t, p2t), specs, b, block,
+                         interpret, sort_hits)
+    if b != b_user:
+        res = FusedResult(*(x[:b_user] for x in res))
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -1410,15 +1449,27 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     broadphase uses conservative per-shape bounding radii.
     """
     cfg = _round_cfg(cfg)
+    b_user = a.kind.shape[0]
+    pad = (-b_user) % max(min(block, 128), 128)
+    if pad:
+        def pad_shapes(sbatch, displace):
+            rep = lambda x: jnp.concatenate(  # noqa: E731
+                [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+            pos = rep(sbatch.pos)
+            if displace:
+                pos = pos.at[b_user:].add(4e4)
+            return type(sbatch)(kind=rep(sbatch.kind), params=rep(sbatch.params),
+                                pos=pos, rot=rep(sbatch.rot))
+        a = pad_shapes(a, False)
+        b = pad_shapes(b, True)
     bsz = a.kind.shape[0]
-    if bsz % 128 != 0:
-        raise ValueError(f"batch {bsz} must be a multiple of 128 (lane width)")
     block = min(block, bsz)
     if bsz % block != 0:
         block = 128
     nb = bsz // block
     handled, c_hit, c_depth, c_normal, c_gap, c_status = \
         _closed_form_shape_pairs(a, b, cfg.broadphase_tol)
+    handled = handled & (jnp.arange(bsz) < b_user)  # pad lanes: kernel path
     sa = _pack_shapes(a, nb, block, skip=handled)
     sb = _pack_shapes(b, nb, block)
     specs = (_vecspec(24, block), _vecspec(24, block))
@@ -1445,7 +1496,7 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     # merge the exact closed-form lanes (handled lanes were inactive in the
     # kernels; their GJK/EPA counters are 0 by construction)
     h1 = handled[:, None]
-    return FusedResult(
+    res = FusedResult(
         hit=jnp.where(handled, c_hit, res.hit),
         status=jnp.where(handled, c_status, res.status),
         depth=jnp.where(handled, c_depth, res.depth),
@@ -1454,6 +1505,9 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
         epa_iters=jnp.where(handled, 0, res.epa_iters),
         distance=jnp.where(handled, c_gap, res.distance),
     )
+    if bsz != b_user:
+        res = FusedResult(*(x[:b_user] for x in res))
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -1685,17 +1739,20 @@ def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "max_iters",
                                              "interpret"))
-def fused_gjk_distance_hulls(p1, p2, cfg: GJKEPAConfig | None = None,
+def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
+                             cfg: GJKEPAConfig | None = None,
                              block: int = 512, max_iters: int = 64,
                              interpret: bool = False):
     """Fused distance-GJK over hull pairs: (distance, point_a, point_b,
-    intersecting, iters) — the BASELINE config-2 capability at kernel speed."""
+    intersecting, iters) — the BASELINE config-2 capability at kernel speed.
+    Any B >= 1; ragged hulls via (B, N) masks or repeated-vertex padding."""
     if cfg is None:
         cfg = GJKEPAConfig.for_f32()
-    b, n1 = p1.shape[0], p1.shape[1]
-    n2 = p2.shape[1]
-    if b % 128 != 0:
-        raise ValueError(f"batch {b} must be a multiple of 128 (lane width)")
+    p1 = _mask_to_padding(p1, mask1)
+    p2 = _mask_to_padding(p2, mask2)
+    b_user = p1.shape[0]
+    (p1, p2), b = _pad_batch(b_user, min(block, 128), p1, p2)
+    n1, n2 = p1.shape[1], p2.shape[1]
     block = min(block, b)
     if b % block != 0:
         block = 128
@@ -1727,7 +1784,7 @@ def fused_gjk_distance_hulls(p1, p2, cfg: GJKEPAConfig | None = None,
     )(p1t, p2t)
 
     def row(i):
-        return out[:, i, :].reshape(b)
+        return out[:, i, :].reshape(b)[:b_user]
 
     from .distance import DistanceResult
     return DistanceResult(

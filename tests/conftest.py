@@ -1,28 +1,44 @@
 """Test harness configuration.
 
-Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
-logic is exercised without a TPU pod (SURVEY.md §4.5), and with x64 enabled
-so the reference's float64 epsilon ladder is meaningful.
+By default tests run on the CPU backend with 8 virtual devices so
+multi-chip sharding logic is exercised without a TPU pod (SURVEY.md §4.5),
+and with x64 enabled so the reference's float64 epsilon ladder is
+meaningful.
+
+Set GJKEPA_TPU_TESTS=1 to instead run on the real TPU: the CPU forcing is
+skipped, tests marked with the `tpu` marker (compiled-Mosaic kernel checks,
+tests/test_fused_tpu.py) become active, and x64 stays OFF (TPU f64 is
+emulated).  CPU-only differential suites still pass — they just run their
+XLA programs on the TPU backend.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+_TPU_MODE = os.environ.get("GJKEPA_TPU_TESTS", "") not in ("", "0")
+
+if not _TPU_MODE:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-# The axon sitecustomize force-registers the TPU backend regardless of
-# JAX_PLATFORMS; override programmatically so tests are hermetic on the
-# 8-virtual-device CPU backend.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-# Persistent compile cache: the masked while-loops are compile-heavy on the
-# CPU backend; cache across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/gjkepa_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if _TPU_MODE:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/gjkepa_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+else:
+    # The axon sitecustomize force-registers the TPU backend regardless of
+    # JAX_PLATFORMS; override programmatically so tests are hermetic on the
+    # 8-virtual-device CPU backend.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    # Persistent compile cache: the masked while-loops are compile-heavy on
+    # the CPU backend; cache across test runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gjkepa_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

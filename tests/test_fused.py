@@ -51,13 +51,38 @@ def test_fused_known_geometry():
             assert not hit[i], (i, dx)
 
 
-def test_fused_rejects_bad_batch_size():
-    p = jnp.zeros((100, 8, 3), jnp.float32)
-    try:
-        fused_gjkepa_hulls(p, p, cfg=CFG, block=128, interpret=True)
-        raise AssertionError("expected ValueError")
-    except ValueError:
-        pass
+def test_fused_accepts_any_batch_size(rng):
+    """Non-multiple-of-128 batches are padded internally with
+    broadphase-rejected lanes and sliced back (VERDICT round-1 item 3)."""
+    p1, p2 = _batch(rng, 100, 12)
+    rf = fused_gjkepa_hulls(p1, p2, cfg=CFG, block=128, interpret=True)
+    rx = gjkepa_batch(p1, p2, cfg=CFG)
+    assert rf.hit.shape == (100,)
+    np.testing.assert_array_equal(np.asarray(rf.hit), np.asarray(rx.hit))
+    m = np.asarray(rf.hit)
+    np.testing.assert_allclose(np.asarray(rf.depth)[m], np.asarray(rx.depth)[m],
+                               atol=1e-6)
+
+
+def test_fused_ragged_hull_masks(rng):
+    """Per-vertex masks on the fused path agree with the masked XLA path
+    (VERDICT round-1 item 3: reference takes arbitrary N1/N2 per call)."""
+    b, n = 128, 16
+    p1, p2 = _batch(rng, b, n)
+    n1 = rng.integers(4, n + 1, size=b)
+    n2 = rng.integers(4, n + 1, size=b)
+    m1 = jnp.asarray(np.arange(n)[None, :] < n1[:, None])
+    m2 = jnp.asarray(np.arange(n)[None, :] < n2[:, None])
+    rf = fused_gjkepa_hulls(p1, p2, m1, m2, cfg=CFG, block=128, interpret=True)
+    rx = gjkepa_batch(p1, p2, m1, m2, cfg=CFG)
+    np.testing.assert_array_equal(np.asarray(rf.hit), np.asarray(rx.hit))
+    m = np.asarray(rf.hit)
+    assert m.sum() > 5
+    np.testing.assert_allclose(np.asarray(rf.depth)[m], np.asarray(rx.depth)[m],
+                               atol=1e-6)
+    dots = np.einsum("ij,ij->i", np.asarray(rf.normal)[m],
+                     np.asarray(rx.normal)[m])
+    assert (dots > 1.0 - 1e-5).mean() > 0.9
 
 
 def test_fused_full_api_matches_xla(rng):
