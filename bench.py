@@ -166,6 +166,22 @@ def main():
         f"(hit fraction {hit_frac:.2f}, mean EPA iters "
         f"{float(jnp.mean(r4.epa_iters.astype(jnp.float32))):.1f})")
 
+    # ---- config 6: fused path sharded over the device mesh ------------------
+    # (per-chip throughput; on a multi-chip host the pair axis shards over
+    # ICI with zero collectives — SURVEY §2.4.  This box has 1 chip.)
+    from gjkepa_tpu.parallel import (gjkepa_batch_fused_sharded, pair_mesh,
+                                     shard_pairs)
+    mesh = pair_mesh()
+    nd = int(mesh.devices.size)
+    p41s, p42s = shard_pairs(mesh, p41, p42)
+    t6 = timeit(lambda: gjkepa_batch_fused_sharded(mesh, p41s, p42s, cfg=cfg,
+                                                   block=512),
+                lambda r: r.depth, warmup=15, k0=2)
+    results["c6_sharded_fused_qps"] = B4 / t6
+    results["c6_n_devices"] = nd
+    log(f"config6 sharded fused (full surface) on {nd} device(s): "
+        f"{B4/t6/1e6:.3f}M q/s")
+
     # ---- config 5: mini-sim 1024 falling boxes -----------------------------
     from gjkepa_tpu.sim.rigid import SimConfig, init_boxes, sim_step
     state = init_boxes(1024, height=6.0, spread=14.0)

@@ -282,6 +282,16 @@ def gjkepa_batch_fused(
         cfg = GJKEPAConfig.for_f32()
     r = fused_gjkepa_hulls(p1, p2, mask1, mask2, cfg=cfg, block=block,
                            interpret=interpret)
+    return derive_contact_batch(p1, p2, r, cfg, mask1, mask2)
+
+
+def derive_contact_batch(p1, p2, r, cfg: GJKEPAConfig,
+                         mask1=None, mask2=None) -> CollisionResult:
+    """Contact post-processing of a FusedResult batch -> CollisionResult.
+
+    A pure per-pair map (no cross-pair dependence), so under a sharded
+    batch it partitions automatically — keep it OUTSIDE shard_map (contact
+    ops lower pathologically inside manual partitioning)."""
 
     def one(a, b, nrm, m1, m2):
         return derive_contact(a, b, nrm, cfg, m1, m2)

@@ -46,6 +46,27 @@ def shard_pairs(mesh: Mesh, *arrays, axis: str = "pairs"):
     return out[0] if len(out) == 1 else out
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_xla_fn(mesh, axis, cfg, has_m1, has_m2):
+    """Cached jitted shard_map program (a fresh closure per call would
+    retrace on every invocation — hundreds of ms of host time)."""
+    spec = P(axis)
+    m_spec1 = spec if has_m1 else None
+    m_spec2 = spec if has_m2 else None
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, m_spec1, m_spec2),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def local(p1s, p2s, m1s, m2s):
+        return api.gjkepa_batch(p1s, p2s, m1s, m2s, cfg=cfg)
+
+    return jax.jit(local)
+
+
 def gjkepa_batch_sharded(
     mesh: Mesh,
     p1: jnp.ndarray,
@@ -61,9 +82,47 @@ def gjkepa_batch_sharded(
     results come back sharded the same way.  Zero collectives — exactly the
     communication profile of the reference's per-thread batching.
     """
+    fn = _sharded_xla_fn(mesh, axis, cfg, mask1 is not None, mask2 is not None)
+    return fn(p1, p2, mask1, mask2)
+
+
+def gjkepa_batch_fused_sharded(
+    mesh: Mesh,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    mask1: jnp.ndarray | None = None,
+    mask2: jnp.ndarray | None = None,
+    cfg: GJKEPAConfig | None = None,
+    axis: str = "pairs",
+    block: int = 128,
+    interpret: bool = False,
+) -> CollisionResult:
+    """The fused Pallas fast path under shard_map (VERDICT round-1 item 7).
+
+    Each device runs the fused GJK+EPA kernel cascade on its local pair
+    slice — the production path, not the portable XLA path.  Zero
+    collectives; per-chip throughput is the single-chip fused throughput.
+    `interpret=True` runs the kernels in interpret mode (for the virtual
+    CPU mesh used in tests and the driver dry run).
+
+    Only the Pallas cascade runs under shard_map; the per-pair contact
+    derivation is a pure map and partitions automatically under plain jit
+    (and lowers pathologically under manual partitioning — measured 120x)."""
+    if cfg is None:
+        cfg = GJKEPAConfig.for_f32()
+    kern, fin = _sharded_fused_fns(mesh, axis, cfg, block, interpret,
+                                   mask1 is not None, mask2 is not None)
+    r = kern(p1, p2, mask1, mask2)
+    return fin(p1, p2, r, mask1, mask2)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_fused_fns(mesh, axis, cfg, block, interpret, has_m1, has_m2):
+    from ..ops.fused import FusedResult, fused_gjkepa_hulls
+
     spec = P(axis)
-    m_spec1 = None if mask1 is None else spec
-    m_spec2 = None if mask2 is None else spec
+    m_spec1 = spec if has_m1 else None
+    m_spec2 = spec if has_m2 else None
 
     @functools.partial(
         jax.shard_map,
@@ -73,22 +132,21 @@ def gjkepa_batch_sharded(
         check_vma=False,
     )
     def local(p1s, p2s, m1s, m2s):
-        return api.gjkepa_batch(p1s, p2s, m1s, m2s, cfg=cfg)
+        return fused_gjkepa_hulls(p1s, p2s, m1s, m2s, cfg=cfg, block=block,
+                                  interpret=interpret)
 
-    return jax.jit(local)(p1, p2, mask1, mask2)
+    local_j = jax.jit(local)
+
+    def kern(p1, p2, m1, m2):
+        return FusedResult(*local_j(p1, p2, m1, m2))
+
+    fin = jax.jit(lambda p1, p2, r, m1, m2:
+                  api.derive_contact_batch(p1, p2, r, cfg, m1, m2))
+    return kern, fin
 
 
-def contact_count_sharded(
-    mesh: Mesh,
-    p1: jnp.ndarray,
-    p2: jnp.ndarray,
-    cfg: GJKEPAConfig = DEFAULT_CONFIG,
-    axis: str = "pairs",
-):
-    """Global hit count over a sharded pair batch: per-shard narrowphase +
-    one psum over ICI — the only cross-chip communication this domain needs
-    (SURVEY.md §5.8)."""
-
+@functools.lru_cache(maxsize=None)
+def _contact_count_fn(mesh, axis, cfg):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -102,4 +160,17 @@ def contact_count_sharded(
         r = api.gjkepa_batch(p1s, p2s, cfg=cfg)
         return jax.lax.psum(jnp.sum(r.hit.astype(jnp.int32)), axis)
 
-    return jax.jit(local)(p1, p2)
+    return jax.jit(local)
+
+
+def contact_count_sharded(
+    mesh: Mesh,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    cfg: GJKEPAConfig = DEFAULT_CONFIG,
+    axis: str = "pairs",
+):
+    """Global hit count over a sharded pair batch: per-shard narrowphase +
+    one psum over ICI — the only cross-chip communication this domain needs
+    (SURVEY.md §5.8)."""
+    return _contact_count_fn(mesh, axis, cfg)(p1, p2)
