@@ -24,7 +24,9 @@ steady-state per-call cost, i.e. what a pipelined caller pays per batch.
 Run directly on the TPU (no platform override).  Detail lines go to stderr.
 """
 
+import contextlib
 import json
+import os
 import sys
 import time
 
@@ -33,6 +35,28 @@ import numpy as np
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def profile_scope(name):
+    """jax.profiler trace hook (SURVEY.md §5.1).
+
+    Off by default; set GJKEPA_PROFILE=<dir> to capture one XLA/TPU trace
+    per bench config under <dir>/<config-name> (viewable with
+    tensorboard / xprof).  Wraps a handful of post-warmup calls only, so
+    the trace shows steady-state programs, not compiles.
+    """
+    d = os.environ.get("GJKEPA_PROFILE", "")
+    if not d:
+        yield False
+        return
+    import jax
+
+    path = os.path.join(d, name)
+    os.makedirs(path, exist_ok=True)
+    with jax.profiler.trace(path):
+        yield True
+    log(f"profile: wrote {name} trace to {path}")
 
 
 def _run(fn, probe, k):
@@ -68,6 +92,20 @@ def timeit(fn, probe, reps=3, warmup=30, min_window_s=0.4, k0=4, kmax=4096):
             return max((t_b - t_a) / k, 1e-9)
         k *= 2
         t_a = t_b
+
+
+def maybe_profile(name, fn, probe, calls=5):
+    """Capture a steady-state device trace of fn (no-op unless
+    GJKEPA_PROFILE is set — see profile_scope)."""
+    import jax.numpy as jnp
+
+    with profile_scope(name) as on:
+        if on:
+            acc = None
+            for _ in range(calls):
+                p = probe(fn())
+                acc = p if acc is None else acc + p
+            float(jnp.sum(acc))
 
 
 def random_hulls(rng, b, n, spread=0.8, dtype=np.float32):
@@ -124,6 +162,8 @@ def main():
     from gjkepa_tpu.ops.fused import fused_gjk_distance_hulls
     t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg, block=512),
                     lambda r: r.distance)
+    maybe_profile("c2_bool", lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=512),
+                  lambda r: r.gjk_iters.astype(jnp.float32))
     results["c2_hull4k_bool_qps"] = B2 / t_bool
     results["c2_hull4k_dist_qps"] = B2 / t_dist
     log(f"config2 4k x 64-vert hulls: bool {B2/t_bool/1e6:.2f}M q/s, "
@@ -144,6 +184,8 @@ def main():
     a, b = mk(), mk()
     t3 = timeit(lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=128),
                 lambda r: r.depth)
+    maybe_profile("c3_analytic64k", lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=128),
+                  lambda r: r.depth)
     r3 = fused_gjkepa_shapes(a, b, cfg=cfg, block=128)
     hits = int(jnp.sum(r3.hit))
     results["c3_analytic64k_qps"] = B3 / t3
@@ -158,6 +200,8 @@ def main():
     p41, p42 = jnp.asarray(big), jnp.asarray(small)
     t4 = timeit(lambda: fused_gjkepa_hulls(p41, p42, cfg=cfg, block=512),
                 lambda r: r.depth, warmup=25, k0=2)
+    maybe_profile("c4_deep16k", lambda: fused_gjkepa_hulls(p41, p42, cfg=cfg, block=512),
+                  lambda r: r.depth)
     r4 = fused_gjkepa_hulls(p41, p42, cfg=cfg, block=512)
     hit_frac = float(jnp.mean(r4.hit.astype(jnp.float32)))
     results["c4_deep16k_qps"] = B4 / t4
@@ -194,6 +238,7 @@ def main():
 
     t5 = timeit(lambda: steps10(state), lambda s: s.pos,
                 warmup=6, k0=1) / 10
+    maybe_profile("c5_sim1024", lambda: steps10(state), lambda s: s.pos, calls=2)
     results["c5_sim1024_steps_per_sec"] = 1.0 / t5
     log(f"config5 1024-box sim: {1.0/t5:.1f} steps/s")
 

@@ -1143,6 +1143,17 @@ def _mask_to_padding(p, mask):
     return jnp.where(mask[:, :, None], p, fv)
 
 
+def _auto_block(block, n1, n2, budget_bytes=6 * 1024 * 1024):
+    """Clamp the lane-block width so both (3, N, block) f32 hull buffers fit
+    a VMEM budget (SURVEY.md §5.7 large-hull scaling).  The kernels hold the
+    whole padded hulls resident; at N=64 any block works, at N=1024 the
+    default block=512 would need ~25 MB of VMEM for inputs alone (the chip
+    has ~16 MB).  Lane blocks stay multiples of 128 (the VPU lane width)."""
+    per_lane = (n1 + n2) * 3 * 4
+    fit = max(budget_bytes // per_lane // 128 * 128, 128)
+    return min(block, fit)
+
+
 def _pad_batch(b, block, *arrays):
     """Pad the pair axis up to a multiple of `block` (min 128) with lanes
     displaced far apart so the in-kernel broadphase retires them; returns
@@ -1188,7 +1199,7 @@ def fused_gjkepa_hulls(p1, p2, mask1=None, mask2=None,
     b_user = p1.shape[0]
     (p1, p2), b = _pad_batch(b_user, min(block, 128), p1, p2)
     n1, n2 = p1.shape[1], p2.shape[1]
-    block = min(block, b)
+    block = _auto_block(min(block, b), n1, n2)
     if b % block != 0:
         block = 128
     nb = b // block
@@ -1753,7 +1764,7 @@ def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
     b_user = p1.shape[0]
     (p1, p2), b = _pad_batch(b_user, min(block, 128), p1, p2)
     n1, n2 = p1.shape[1], p2.shape[1]
-    block = min(block, b)
+    block = _auto_block(min(block, b), n1, n2)
     if b % block != 0:
         block = 128
     nb = b // block

@@ -109,6 +109,84 @@ def test_compiled_shape_pipeline():
     _compare(rc, ri, "analytic shapes compiled-vs-interpret")
 
 
+def _deep_fixture_with_oracle(n_pairs=96, n_verts=16):
+    """Deep-penetration pairs + float64 reference-oracle depths (host CPU).
+
+    Returns (p1_f32, p2_f32, oracle_depth, valid_mask): valid lanes are the
+    pairs where the f64 oracle produced a converged hit (the accuracy
+    contract of BASELINE.json applies to those).
+    """
+    from tests.oracle_np import OracleHalt, gjkepa_oracle
+
+    rng = np.random.default_rng(7)
+    p1 = np.empty((n_pairs, n_verts, 3))
+    p2 = np.empty((n_pairs, n_verts, 3))
+    depth = np.zeros(n_pairs)
+    valid = np.zeros(n_pairs, dtype=bool)
+    for i in range(n_pairs):
+        v = rng.normal(size=(n_verts, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        p1[i] = v * (1.0 + rng.random((n_verts, 1)))
+        w = rng.normal(size=(n_verts, 3))
+        w /= np.linalg.norm(w, axis=1, keepdims=True)
+        p2[i] = w * 0.5 * (0.5 + 0.5 * rng.random((n_verts, 1)))
+        p2[i] += rng.normal(size=3) * 0.15
+        try:
+            o = gjkepa_oracle(p1[i], p2[i])
+        except OracleHalt:
+            continue
+        if o.hit and not o.epa_capped:
+            depth[i] = o.depth
+            valid[i] = True
+    assert valid.sum() >= n_pairs * 3 // 4, int(valid.sum())
+    return (jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
+            depth, valid)
+
+
+def test_tpu_depth_accuracy_vs_f64_oracle():
+    """f64 validation on TPU (VERDICT round-1 item 5): the PRODUCTION fused
+    f32 kernel's penetration depth on real hardware must stay within the
+    BASELINE 1e-5 budget of the float64 reference-semantics oracle.
+
+    This pins TPU-resident accuracy directly (the round-1 gap: f64
+    validation only ever ran on CPU, while the TPU XLA path drifts ~3e-3
+    under the platform's forced excess-precision flag — docs/DESIGN.md)."""
+    from gjkepa_tpu.ops.fused import fused_gjkepa_hulls
+
+    p1, p2, depth_ref, valid = _deep_fixture_with_oracle()
+    rc = fused_gjkepa_hulls(p1, p2, cfg=_cfg(), block=128)
+    hit = np.asarray(rc.hit)
+    # converged-oracle lanes must all be hits on the TPU too
+    assert hit[valid].all(), "fused TPU path missed oracle-converged hits"
+    err = np.abs(np.asarray(rc.depth)[valid] - depth_ref[valid])
+    assert float(err.max()) < 1e-5, (
+        f"TPU depth max-abs-err {err.max():.3e} vs f64 oracle (budget 1e-5)")
+
+
+def test_tpu_xla_path_f64():
+    """The portable XLA path in FULL float64 on the TPU backend: x64 ops are
+    emulated (slow) but must be exact to the f64 CPU oracle — this is the
+    on-device validation mode for users who need reference-grade precision
+    on TPU, quantified here rather than assumed."""
+    from gjkepa_tpu import GJKEPAConfig, gjkepa_batch
+
+    p1, p2, depth_ref, valid = _deep_fixture_with_oracle(n_pairs=32)
+    with jax.enable_x64(True):
+        r = gjkepa_batch(jnp.asarray(np.asarray(p1), jnp.float64),
+                         jnp.asarray(np.asarray(p2), jnp.float64),
+                         cfg=GJKEPAConfig())
+        hit = np.asarray(r.hit)
+        depth = np.asarray(r.depth)
+    assert hit[valid].all()
+    err = np.abs(depth[valid] - depth_ref[valid])
+    # Not bit-exact vs host f64: TPU x64 arithmetic is software-emulated
+    # and XLA:TPU orders reductions differently (measured max err 2.5e-8 on
+    # v5e) — but it must stay orders of magnitude inside the 1e-5 BASELINE
+    # budget, unlike the f32 XLA path's ~3e-3 excess-precision drift.
+    assert float(err.max()) < 1e-7, (
+        f"x64-on-TPU depth max-abs-err {err.max():.3e} (expected <1e-7)")
+
+
 def test_compiled_distance_kernel():
     from gjkepa_tpu.ops.fused import fused_gjk_distance_hulls
 
@@ -124,3 +202,42 @@ def test_compiled_distance_kernel():
     assert m.sum() > 100
     np.testing.assert_allclose(np.asarray(rc.distance)[m],
                                np.asarray(ri.distance)[m], atol=1e-5)
+
+
+def test_compiled_large_hulls_n1024():
+    """Large-hull scaling on hardware (SURVEY.md §5.7): N=1024-vertex hulls
+    compile and run under the VMEM-aware auto block, agree with interpret
+    mode, and the compiled per-pair cost stays within 2x of the N=64 cost
+    scaled by N (support scans are O(N); the auto-block halving must not
+    cost more than the remaining fixed overhead)."""
+    import time
+
+    from gjkepa_tpu.ops.fused import fused_gjkepa_hulls
+
+    rng = np.random.default_rng(17)
+    cfg = _cfg()
+    b = 512
+    big = random_hulls(rng, b, 1024, spread=0.4)
+    rc = fused_gjkepa_hulls(big, big + 0.1, cfg=cfg, block=512)
+    ri = fused_gjkepa_hulls(big, big + 0.1, cfg=cfg, block=512,
+                            interpret=True)
+    _compare(rc, ri, "N=1024 hulls compiled-vs-interpret")
+
+    def steady(fn):
+        fn().depth.block_until_ready()
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        r.depth.block_until_ready()
+        return (time.perf_counter() - t0) / reps
+
+    small = random_hulls(rng, b, 64, spread=0.4)
+    t64 = steady(lambda: fused_gjkepa_hulls(small, small + 0.1, cfg=cfg,
+                                            block=512))
+    t1024 = steady(lambda: fused_gjkepa_hulls(big, big + 0.1, cfg=cfg,
+                                              block=512))
+    ratio = t1024 / (t64 * (1024 / 64))
+    assert ratio < 2.0, (
+        f"N=1024 per-pair cost {t1024*1e6/b:.1f}us is {ratio:.2f}x the "
+        f"N-scaled N=64 cost {t64*1e6/b:.2f}us (budget 2x)")
