@@ -245,16 +245,34 @@ def _gjk_phase(support, active, table_xyz, cfg: GJKEPAConfig, block):
     # Minkowski difference, classified MISS_INIT exactly like the
     # reference's exhausted-retries branch (:86-89).  The XLA path keeps
     # the full 99-retry semantics.
-    s1, s2, sep = zero, zero, sep0
-    run = active
-    for i in range(len(table)):
-        d = const_dir(i)
-        w1 = support(d)
-        w2 = support(-d)
-        s1 = pwhere(run, w1, s1)
-        s2 = pwhere(run, w2, s2)
-        sep = sep_upd(sep_upd(sep, d, w1, run), -d, w2, run)
-        run = run & pcoincide(s1, s2, eps)
+    # Row 0 probes unconditionally; rows 1..n-1 run under a SCALAR cond so
+    # the (expensive, O(N)-per-probe on hulls) retry supports are skipped
+    # at runtime when no lane in the block is still coincident — the
+    # overwhelmingly common case.  Lanes with run=False are write-masked,
+    # so skipping is observationally identical.
+    d0 = const_dir(0)
+    w1 = support(d0)
+    w2 = support(-d0)
+    s1 = pwhere(active, w1, zero)
+    s2 = pwhere(active, w2, zero)
+    sep = sep_upd(sep_upd(sep0, d0, w1, active), -d0, w2, active)
+    run = active & pcoincide(s1, s2, eps)
+
+    def _retry_rest(args):
+        s1, s2, sep, run = args
+        for i in range(1, len(table)):
+            d = const_dir(i)
+            w1 = support(d)
+            w2 = support(-d)
+            s1 = pwhere(run, w1, s1)
+            s2 = pwhere(run, w2, s2)
+            sep = sep_upd(sep_upd(sep, d, w1, run), -d, w2, run)
+            run = run & pcoincide(s1, s2, eps)
+        return s1, s2, sep, run
+
+    if len(table) > 1:
+        s1, s2, sep, run = lax.cond(jnp.any(run), _retry_rest,
+                                    lambda args: args, (s1, s2, sep, run))
     init_failed = pcoincide(s1, s2, eps)
 
     # --- v3 (ref :115-127) + origin-on-segment robustness fix ----------
@@ -280,10 +298,16 @@ def _gjk_phase(support, active, table_xyz, cfg: GJKEPAConfig, block):
     sep = sep_upd(sep, d4f, s4, active)
     v4_coplanar = jnp.abs(_dist_pf_sign(s4, s1, s2, s3, epz)) < eps
 
-    s4e = support(d4)
-    s4e_cop = jnp.abs(_dist_pf_sign(s4e, s1, s2, s3, epz)) < eps
-    s4_early = pwhere(s4e_cop, support(-d4), s4e)
+    # The early-EPA seed (fresh support along the unflipped tri normal,
+    # falling back to the opposite side when coplanar) is needed only on
+    # early_hit lanes — a rare touching-contact configuration; both extra
+    # support probes sit behind a scalar cond.
+    def _early_seed(s4):
+        s4e = support(d4)
+        s4e_cop = jnp.abs(_dist_pf_sign(s4e, s1, s2, s3, epz)) < eps
+        return pwhere(s4e_cop, support(-d4), s4e)
 
+    s4_early = lax.cond(jnp.any(early_hit), _early_seed, lambda s4: s4, s4)
     s4 = pwhere(early_hit, s4_early, s4)
     in_tetra = _point_in_simplex(zero, (s1, s2, s3, s4), eps, epz)
 
@@ -496,8 +520,11 @@ def _epa_phase(support, simplex, active, cfg: GJKEPAConfig, block):
         n_new = jnp.sum(jnp.where(horizon, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True, dtype=jnp.int32)
         free = ~alive | visible
         n_free = jnp.sum(jnp.where(free, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True, dtype=jnp.int32)
-        cant = (~converged) & ((n_new > n_free) | (nv >= V)
-                               | (n_new == 0) | all_deg)
+        # capacity failures (bigger buffers fix them -> cascade retry) vs
+        # intrinsic degeneracy (no expansion exists -> retry is futile)
+        cant_cap = (~converged) & ((n_new > n_free) | (nv >= V))
+        cant_deg = (~converged) & ((n_new == 0) | all_deg)
+        cant = cant_cap | cant_deg
         do_ins = run & ~(converged | cant)
 
         # cumulative counts via constant-triangular matmuls (MXU)
@@ -544,7 +571,8 @@ def _epa_phase(support, simplex, active, cfg: GJKEPAConfig, block):
         done_now = run & (converged | cant)
         status = c["status"]
         status = jnp.where(run & converged, Status.HIT, status)
-        status = jnp.where(run & cant, Status.HIT_EPA_DEGENERATE, status)
+        status = jnp.where(run & cant_deg, Status.HIT_EPA_DEGENERATE, status)
+        status = jnp.where(run & cant_cap, Status.HIT_EPA_CAPACITY, status)
         return {
             "vx": vxn, "vy": vyn, "vz": vzn, "nv": nvn,
             "f0": f0n, "f1": f1n, "f2": f2n, "alive": alive_n,
@@ -765,8 +793,11 @@ def _epa_phase_fast(support, simplex, active, cfg: GJKEPAConfig, block,
         free = ~alive | visible
         n_free = jnp.sum(jnp.where(free, jnp.int32(1), jnp.int32(0)),
                          axis=0, keepdims=True, dtype=jnp.int32)
-        cant = (~converged) & (over_k | (n_new > n_free) | (n_new == 0)
-                               | all_deg)
+        # capacity failures (a larger K / face buffer fixes them -> cascade
+        # retry) vs intrinsic degeneracy (no expansion exists -> futile)
+        cant_cap = (~converged) & (over_k | (n_new > n_free))
+        cant_deg = (~converged) & ~cant_cap & ((n_new == 0) | all_deg)
+        cant = cant_cap | cant_deg
         do_ins = run & ~(converged | cant)
 
         # -- assign horizon edges to free slots (rank machinery) ------------
@@ -821,7 +852,8 @@ def _epa_phase_fast(support, simplex, active, cfg: GJKEPAConfig, block,
         done_now = run & (converged | cant)
         status = c["status"]
         status = jnp.where(run & converged, Status.HIT, status)
-        status = jnp.where(run & cant, Status.HIT_EPA_DEGENERATE, status)
+        status = jnp.where(run & cant_deg, Status.HIT_EPA_DEGENERATE, status)
+        status = jnp.where(run & cant_cap, Status.HIT_EPA_CAPACITY, status)
         return {
             "ax": upd(na[0], c["ax"]), "ay": upd(na[1], c["ay"]),
             "az": upd(na[2], c["az"]),
@@ -915,6 +947,24 @@ def _read_simplex(gin_ref):
         for i in range(4))
 
 
+def _epa_guard(active, block, phase):
+    """Run `phase()` only if any lane in the block is active (scalar cond).
+
+    A fully-inactive EPA program otherwise still pays the (F, BLOCK) carry
+    initialization before its while loop can exit — measured at ~4.7 us per
+    program for the F=208 stage, i.e. 2.4 ms per 64k-pair call spent on
+    blocks with nothing to do.  Inactive lanes' outputs are zero either way
+    (_write_epa_out masks on `active`; status/iters of inactive lanes are
+    never read downstream)."""
+    z1 = jnp.zeros((1, block), jnp.float32)
+    zi = jnp.zeros((1, block), jnp.int32)
+
+    def skip(_):
+        return z1, P3(z1, z1, z1), zi, zi
+
+    return lax.cond(jnp.any(active), lambda _: phase(), skip, None)
+
+
 def _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status):
     f = jnp.float32
     out_ref[0:1, :] = jnp.where(active, depth, 0.0).astype(f)
@@ -941,8 +991,9 @@ def _epa_kernel_hulls(p1_ref, p2_ref, gin_ref, out_ref, *, cfg, block):
     support, _, _ = _hull_views(p1_ref, p2_ref, block)
     active = gin_ref[0:1, :] > 0.5
     simplex = _read_simplex(gin_ref)
-    depth, normal, epa_iters, status = _epa_phase(support, simplex, active,
-                                                  cfg, block)
+    depth, normal, epa_iters, status = _epa_guard(
+        active, block,
+        lambda: _epa_phase(support, simplex, active, cfg, block))
     _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
@@ -951,9 +1002,10 @@ def _epa_fast_kernel_hulls(p1_ref, p2_ref, gin_ref, out_ref, *, cfg, block,
     support, _, _ = _hull_views(p1_ref, p2_ref, block)
     active = gin_ref[0:1, :] > 0.5
     simplex = _read_simplex(gin_ref)
-    depth, normal, epa_iters, status = _epa_phase_fast(support, simplex,
-                                                       active, cfg, block,
-                                                       k_vis=k_vis)
+    depth, normal, epa_iters, status = _epa_guard(
+        active, block,
+        lambda: _epa_phase_fast(support, simplex, active, cfg, block,
+                                k_vis=k_vis))
     _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
@@ -988,10 +1040,13 @@ def _cascade_plan(cfg):
     cost.  Stage 2: the same kernel sized for the WORST case (face capacity
     2*epa_max_iters+10 covers every iteration up to the reference's cap,
     ref :299, and K=16 covers the over-K visible sets measured at <0.1%) —
-    it re-runs only the lanes stage 1 could not cleanly converge
-    (status != HIT, typically <15% of hits).  Face capacity on this path is
-    an implementation detail sized from the iteration cap, not the
-    cfg.epa_max_faces knob (which still governs the portable XLA path).
+    it re-runs only the lanes stage 1 stopped for a CAPACITY reason
+    (Status.HIT_EPA_CAPACITY: face-buffer or visible-set overflow, which a
+    larger budget fixes); intrinsically degenerate or iteration-capped
+    lanes reproduce identically under any capacity and are never retried.
+    Face capacity on this path is an implementation detail sized from the
+    iteration cap, not the cfg.epa_max_faces knob (which still governs the
+    portable XLA path).
 
     epa_max_iters == 0 means boolean-only mode: no EPA kernels at all (the
     reference's miss path never enters EPA, ref :178-236)."""
@@ -1103,9 +1158,15 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     active_p = g_perm[:, 0] > 0.5
     eflat_p = epa_pass(epa_kernels[0], gin)
     for kern in epa_kernels[1:]:
-        # any non-clean outcome (capacity-degenerate OR iteration cap) is
-        # re-run by the next (more capable) stage; the last stage is final
-        retry_p = active_p & (eflat_p[:, 5].astype(jnp.int32) != Status.HIT)
+        # ONLY capacity-limited lanes are re-run by the next (larger-budget)
+        # stage: intrinsic degeneracy (duplicate support / degenerate
+        # polytope) and the iteration cap reproduce identically under any
+        # capacity, so retrying them is provably futile — and measured
+        # workloads showed exactly that futile retry dominating the EPA
+        # phase (31 cyl-cyl lanes re-ran 23 iterations at 4x per-iter cost
+        # for a bit-identical outcome).
+        retry_p = active_p & (eflat_p[:, 5].astype(jnp.int32)
+                              == Status.HIT_EPA_CAPACITY)
         gin_retry = gin.at[:, 0, :].set(
             jnp.where(retry_p, 1.0, 0.0).reshape(nb, block))
         eflat2_p = epa_pass(kern, gin_retry)
@@ -1116,6 +1177,9 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
 
     status = gflat[:, 1].astype(jnp.int32)
     epa_status = eflat[:, 5].astype(jnp.int32)
+    # a capacity verdict surviving the final stage is degenerate to callers
+    epa_status = jnp.where(epa_status == Status.HIT_EPA_CAPACITY,
+                           Status.HIT_EPA_DEGENERATE, epa_status)
     status = jnp.where(hit, epa_status, status)
     return FusedResult(
         hit=hit,
@@ -1414,8 +1478,9 @@ def _epa_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block):
     support = _make_shape_support(sa_ref[:, :], sb_ref[:, :])
     active = gin_ref[0:1, :] > 0.5
     simplex = _read_simplex(gin_ref)
-    depth, normal, epa_iters, status = _epa_phase(support, simplex, active,
-                                                  cfg, block)
+    depth, normal, epa_iters, status = _epa_guard(
+        active, block,
+        lambda: _epa_phase(support, simplex, active, cfg, block))
     _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
@@ -1424,9 +1489,10 @@ def _epa_fast_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block,
     support = _make_shape_support(sa_ref[:, :], sb_ref[:, :])
     active = gin_ref[0:1, :] > 0.5
     simplex = _read_simplex(gin_ref)
-    depth, normal, epa_iters, status = _epa_phase_fast(support, simplex,
-                                                       active, cfg, block,
-                                                       k_vis=k_vis)
+    depth, normal, epa_iters, status = _epa_guard(
+        active, block,
+        lambda: _epa_phase_fast(support, simplex, active, cfg, block,
+                                k_vis=k_vis))
     _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
@@ -1446,7 +1512,10 @@ def _pack_shapes(batch, nb, block, skip=None):
                 else jnp.where(skip, 1.0, 0.0)[:, None])
     pad = jnp.zeros((bsz, 7), jnp.float32)
     packed = jnp.concatenate([kind, params, pos, rot, skip_col, pad], axis=1)
-    return jnp.swapaxes(packed.reshape(nb, block, 24), 1, 2)
+    # one large 2-D transpose + leading-dim swap: the direct
+    # (nb, block, 24) -> (nb, 24, block) form is a tiny-inner-dim 3-D
+    # transpose, which XLA:TPU executes ~10x slower
+    return jnp.swapaxes(packed.T.reshape(24, nb, block), 0, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret",

@@ -27,6 +27,13 @@ class Status:
     HIT_EPA_CAP = 4       # hit, but EPA hit its iteration cap (:299-303);
     #                       depth/normal are best-effort, reference zeroes them
     HIT_EPA_DEGENERATE = 5  # hit, but EPA could not expand (duplicate support)
+    # Internal cascade code — never escapes a public query result: the fast
+    # EPA kernel ran out of CAPACITY (face buffer / visible-set bound), which
+    # a larger-budget cascade stage can fix; distinguished from
+    # HIT_EPA_DEGENERATE (intrinsic: no expansion exists, retrying with more
+    # capacity is provably futile).  The dispatch maps any leftover
+    # CAPACITY to HIT_EPA_DEGENERATE after the final stage.
+    HIT_EPA_CAPACITY = 6
 
 
 class CollisionResult(NamedTuple):
