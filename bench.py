@@ -182,11 +182,11 @@ def main():
                   0.3 + 0.3 * rng.random(q).astype(np.float32), pos=pos()),
     )
     a, b = mk(), mk()
-    t3 = timeit(lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=128),
+    t3 = timeit(lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=512),
                 lambda r: r.depth)
-    maybe_profile("c3_analytic64k", lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=128),
+    maybe_profile("c3_analytic64k", lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=512),
                   lambda r: r.depth)
-    r3 = fused_gjkepa_shapes(a, b, cfg=cfg, block=128)
+    r3 = fused_gjkepa_shapes(a, b, cfg=cfg, block=512)
     hits = int(jnp.sum(r3.hit))
     results["c3_analytic64k_qps"] = B3 / t3
     log(f"config3 64k mixed analytic: {B3/t3/1e6:.2f}M q/s ({hits} hits, "

@@ -1066,7 +1066,7 @@ def _vecspec(rows, block):
 
 
 def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
-                   interpret, sort_hits):
+                   interpret, sort_hits, epa_block=None, epa_geom_specs=None):
     """Shared multi-phase driver.
 
     Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
@@ -1084,8 +1084,21 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
 
     `geom_arrays` are the pre-transposed per-pair geometry inputs whose
     leading dim is nb and whose LAST dim is the lane (pair) dim.
+
+    `epa_block` (default: same as `block`) lets the EPA phase run at a
+    DIFFERENT lane width than GJK: GJK is cheapest at wide blocks (fewer
+    programs amortize the per-program floor; its iterate loop is short and
+    uniform), while EPA wants narrow blocks (its while loop runs to the
+    slowest lane in the block, and 30+-iteration stragglers are rare —
+    narrow blocks contain them).  The permute step between the phases
+    already rebuilds the lane layout, so the re-blocking is free.  When
+    set, `epa_geom_specs` must carry the epa_block-shaped BlockSpecs and
+    the EPA kernels must be built with block=epa_block.
     """
     nb = b // block
+    eb = epa_block or block
+    enb = b // eb
+    epa_geom_specs = epa_geom_specs if epa_geom_specs is not None else geom_specs
 
     gout = pl.pallas_call(
         gjk_kernel,
@@ -1114,15 +1127,16 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
         )
 
     def permute_geom(arr, order):
-        # (nb, *feat, block) -> flat pair-major -> permuted -> back.
-        # All reshapes/permutes go through 2-D swapaxes: XLA's 4-D
-        # transposes with a tiny inner dim run ~70x slower on TPU.
+        # (nb, *feat, block) -> flat pair-major -> permuted -> back at the
+        # EPA lane width (enb, *feat, eb).  All reshapes/permutes go
+        # through 2-D swapaxes: XLA's 4-D transposes with a tiny inner dim
+        # run ~70x slower on TPU.
         shp = arr.shape
         feat = int(np.prod(shp[1:-1]))
         flat = jnp.swapaxes(arr.reshape(nb, feat, block), 1, 2).reshape(b, feat)
         flat = flat[order]
-        back = jnp.swapaxes(flat.reshape(nb, block, feat), 1, 2)
-        return back.reshape(shp)
+        back = jnp.swapaxes(flat.reshape(enb, eb, feat), 1, 2)
+        return back.reshape((enb,) + shp[1:-1] + (eb,))
 
     # One permutation for the WHOLE cascade: hit lanes first (stable).  All
     # cascade stages run in permuted space — a retried lane set is a subset
@@ -1140,15 +1154,15 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
         order = dest = jnp.arange(b)
     geom_p = tuple(permute_geom(a, order) for a in geom_arrays)
     g_perm = gflat[order]                                    # row0 == hit
-    gin = jnp.swapaxes(g_perm.reshape(nb, block, 24), 1, 2)
+    gin = jnp.swapaxes(g_perm.reshape(enb, eb, 24), 1, 2)
 
     def epa_pass(epa_kernel, gin_stage):
         eout = pl.pallas_call(
             epa_kernel,
-            grid=(nb,),
-            out_shape=jax.ShapeDtypeStruct((nb, 8, block), jnp.float32),
-            in_specs=list(geom_specs) + [_vecspec(24, block)],
-            out_specs=_vecspec(8, block),
+            grid=(enb,),
+            out_shape=jax.ShapeDtypeStruct((enb, 8, eb), jnp.float32),
+            in_specs=list(epa_geom_specs) + [_vecspec(24, eb)],
+            out_specs=_vecspec(8, eb),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -1168,7 +1182,7 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
         retry_p = active_p & (eflat_p[:, 5].astype(jnp.int32)
                               == Status.HIT_EPA_CAPACITY)
         gin_retry = gin.at[:, 0, :].set(
-            jnp.where(retry_p, 1.0, 0.0).reshape(nb, block))
+            jnp.where(retry_p, 1.0, 0.0).reshape(enb, eb))
         eflat2_p = epa_pass(kern, gin_retry)
         eflat_p = jnp.where(retry_p[:, None], eflat2_p, eflat_p)
         active_p = retry_p
@@ -1288,21 +1302,32 @@ def fused_gjkepa_hulls(p1, p2, mask1=None, mask2=None,
         _gjk_kernel_hulls(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg,
                           block=block, use_broadphase=use_broadphase)
 
+    # EPA runs at a narrow lane width (straggler containment) regardless of
+    # the wide GJK block — see _run_two_phase
+    eb = min(block, 128)
+    epa_specs = (
+        pl.BlockSpec((1, 3, n1, eb), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, n2, eb), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
     def mk_epa(kind, c, kv):
         if kind == "fast":
             def epa_wrap(p1r, p2r, ginr, outr):
                 _epa_fast_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0],
-                                       outr.at[0], cfg=c, block=block,
+                                       outr.at[0], cfg=c, block=eb,
                                        k_vis=kv)
         else:
             def epa_wrap(p1r, p2r, ginr, outr):
                 _epa_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0],
-                                  outr.at[0], cfg=c, block=block)
+                                  outr.at[0], cfg=c, block=eb)
         return epa_wrap
 
     epa_kernels = [mk_epa(k, c, kv) for k, c, kv in _cascade_plan(cfg)]
     res = _run_two_phase(gjk_wrap, epa_kernels, (p1t, p2t), specs, b, block,
-                         interpret, sort_hits)
+                         interpret, sort_hits, epa_block=eb,
+                         epa_geom_specs=epa_specs)
     if b != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res
@@ -1558,21 +1583,25 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
         _gjk_kernel_shapes(sar.at[0], sbr.at[0], outr.at[0], cfg=cfg,
                            block=block)
 
+    eb = min(block, 128)
+    epa_specs = (_vecspec(24, eb), _vecspec(24, eb))
+
     def mk_epa(kind, c, kv):
         if kind == "fast":
             def epa_wrap(sar, sbr, ginr, outr):
                 _epa_fast_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
-                                        outr.at[0], cfg=c, block=block,
+                                        outr.at[0], cfg=c, block=eb,
                                         k_vis=kv)
         else:
             def epa_wrap(sar, sbr, ginr, outr):
                 _epa_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
-                                   outr.at[0], cfg=c, block=block)
+                                   outr.at[0], cfg=c, block=eb)
         return epa_wrap
 
     epa_kernels = [mk_epa(k, c, kv) for k, c, kv in _cascade_plan(cfg)]
     res = _run_two_phase(gjk_wrap, epa_kernels, (sa, sb), specs, bsz, block,
-                         interpret, sort_hits)
+                         interpret, sort_hits, epa_block=eb,
+                         epa_geom_specs=epa_specs)
     # merge the exact closed-form lanes (handled lanes were inactive in the
     # kernels; their GJK/EPA counters are 0 by construction)
     h1 = handled[:, None]
