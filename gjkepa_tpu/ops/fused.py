@@ -1113,6 +1113,11 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
 
     gflat = jnp.swapaxes(gout, 1, 2).reshape(b, 24)          # (B, 24)
     hit = gflat[:, 0] > 0.5
+    # rows 16-20: kernel-final channel (closed-form analytic lanes carry
+    # their exact depth/normal straight from the GJK kernel; hull kernels
+    # leave the channel zero).  Final lanes never enter the EPA phase.
+    final = gflat[:, 16] > 0.5
+    epa_act = hit & ~final
 
     if not epa_kernels:  # boolean-only: one kernel launch, nothing else
         zero = jnp.zeros((b,), jnp.float32)
@@ -1145,16 +1150,20 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     # geometry gathers.  The inverse permutation is computed with cumsums
     # (no second argsort): dest[i] = rank of lane i among (hits, misses).
     if sort_hits:
-        order = jnp.argsort(~hit, stable=True)               # hits first
-        hit_i = hit.astype(jnp.int32)
-        n_hit = jnp.sum(hit_i)
-        dest = jnp.where(hit, jnp.cumsum(hit_i) - 1,
-                         n_hit + jnp.cumsum(1 - hit_i) - 1)  # == order^-1
+        order = jnp.argsort(~epa_act, stable=True)           # EPA lanes first
+        act_i = epa_act.astype(jnp.int32)
+        n_act = jnp.sum(act_i)
+        dest = jnp.where(epa_act, jnp.cumsum(act_i) - 1,
+                         n_act + jnp.cumsum(1 - act_i) - 1)  # == order^-1
     else:
         order = dest = jnp.arange(b)
     geom_p = tuple(permute_geom(a, order) for a in geom_arrays)
-    g_perm = gflat[order]                                    # row0 == hit
+    g_perm = gflat[order]
     gin = jnp.swapaxes(g_perm.reshape(enb, eb, 24), 1, 2)
+    # EPA activity excludes kernel-final lanes (row 16), not just misses
+    act_p = epa_act[order]
+    gin = gin.at[:, 0, :].set(
+        jnp.where(act_p, 1.0, 0.0).reshape(enb, eb))
 
     def epa_pass(epa_kernel, gin_stage):
         eout = pl.pallas_call(
@@ -1169,7 +1178,7 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
         )(*geom_p, gin_stage)
         return jnp.swapaxes(eout, 1, 2).reshape(b, 8)        # permuted space
 
-    active_p = g_perm[:, 0] > 0.5
+    active_p = act_p
     eflat_p = epa_pass(epa_kernels[0], gin)
     for kern in epa_kernels[1:]:
         # ONLY capacity-limited lanes are re-run by the next (larger-budget)
@@ -1194,14 +1203,14 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     # a capacity verdict surviving the final stage is degenerate to callers
     epa_status = jnp.where(epa_status == Status.HIT_EPA_CAPACITY,
                            Status.HIT_EPA_DEGENERATE, epa_status)
-    status = jnp.where(hit, epa_status, status)
+    status = jnp.where(epa_act, epa_status, status)
     return FusedResult(
         hit=hit,
         status=status,
-        depth=eflat[:, 0],
-        normal=eflat[:, 1:4],
+        depth=jnp.where(final, gflat[:, 17], eflat[:, 0]),
+        normal=jnp.where(final[:, None], gflat[:, 18:21], eflat[:, 1:4]),
         gjk_iters=gflat[:, 2].astype(jnp.int32),
-        epa_iters=eflat[:, 4].astype(jnp.int32),
+        epa_iters=jnp.where(final, 0, eflat[:, 4].astype(jnp.int32)),
         distance=gflat[:, 3],
     )
 
@@ -1397,23 +1406,135 @@ def _shape_broadphase(sa, sb, tol):
     return pnorm(ca - cb) <= radius(sa) + radius(sb) + tol
 
 
+def _closed_form_rows(sa, sb, tol, block):
+    """In-kernel exact answers for the analytic pair types with closed
+    forms: {sphere,capsule} x {sphere,capsule} (swept-sphere
+    segment-segment distance) and sphere-box (point-box clamp) — the
+    row-vectorized twin of the retired XLA-side `_closed_form_shape_pairs`
+    (same math, same observables; moved in-kernel so the 64k-batch
+    pipeline does not pay ~0.4 ms of separate fusion passes + merges).
+
+    Returns (final, depth, normal P3, gap, status); `final` lanes bypass
+    GJK/EPA entirely.  Normal points A -> B (EPA convention)."""
+    k1, k2 = sa[0:1, :], sb[0:1, :]
+    r1, r2 = sa[1:2, :], sb[1:2, :]
+    # kind codes: 0 sphere, 1 box, 2 capsule, 3 cylinder
+    is_ss1 = (k1 < 0.5) | ((k1 > 1.5) & (k1 < 2.5))
+    is_ss2 = (k2 < 0.5) | ((k2 > 1.5) & (k2 < 2.5))
+    both_swept = is_ss1 & is_ss2
+    s_b = (k1 < 0.5) & (jnp.abs(k2 - 1.0) < 0.5)
+    b_s = (jnp.abs(k1 - 1.0) < 0.5) & (k2 < 0.5)
+    final = both_swept | s_b | b_s
+
+    pos1 = P3(sa[4:5, :], sa[5:6, :], sa[6:7, :])
+    pos2 = P3(sb[4:5, :], sb[5:6, :], sb[6:7, :])
+
+    # -- swept-sphere pair: segment-segment closest points ------------------
+    L1 = jnp.where((k1 > 1.5) & (k1 < 2.5), sa[2:3, :], 0.0)
+    L2 = jnp.where((k2 > 1.5) & (k2 < 2.5), sb[2:3, :], 0.0)
+    u1 = P3(sa[9:10, :], sa[12:13, :], sa[15:16, :])   # R column 2 (local z)
+    u2 = P3(sb[9:10, :], sb[12:13, :], sb[15:16, :])
+    rv = pos1 - pos2
+    bb = pdot(u1, u2)
+    cc = pdot(u1, rv)
+    ff = pdot(u2, rv)
+    den = 1.0 - bb * bb
+    s0 = jnp.where(den > 1e-12,
+                   (ff * bb - cc) / jnp.where(den > 1e-12, den, 1.0), 0.0)
+    s = jnp.clip(s0, -L1, L1)
+    t = jnp.clip(s * bb + ff, -L2, L2)
+    s = jnp.clip(t * bb - cc, -L1, L1)
+    dvec = (pos2 + pscale(u2, t)) - (pos1 + pscale(u1, s))
+    dist = pnorm(dvec)
+    inv = 1.0 / jnp.maximum(dist, 1e-20)
+    zhat = P3(jnp.zeros((1, block), jnp.float32),
+              jnp.zeros((1, block), jnp.float32),
+              jnp.ones((1, block), jnp.float32))
+    n_ss = pwhere(dist > 1e-12, pscale(dvec, inv), zhat)
+    depth_ss = r1 + r2 - dist
+    gap_ss = dist - (r1 + r2)
+
+    # -- sphere-box (either order) ------------------------------------------
+    def sphere_vs_box(c_sph, r_sph, s_box):
+        pb = P3(s_box[4:5, :], s_box[5:6, :], s_box[6:7, :])
+        hx, hy, hz = s_box[1:2, :], s_box[2:3, :], s_box[3:4, :]
+        d = c_sph - pb
+        r00, r01, r02 = s_box[7:8, :], s_box[8:9, :], s_box[9:10, :]
+        r10, r11, r12 = s_box[10:11, :], s_box[11:12, :], s_box[12:13, :]
+        r20, r21, r22 = s_box[13:14, :], s_box[14:15, :], s_box[15:16, :]
+        dl = P3(r00 * d.x + r10 * d.y + r20 * d.z,
+                r01 * d.x + r11 * d.y + r21 * d.z,
+                r02 * d.x + r12 * d.y + r22 * d.z)
+        cl = P3(jnp.clip(dl.x, -hx, hx), jnp.clip(dl.y, -hy, hy),
+                jnp.clip(dl.z, -hz, hz))
+        delta = dl - cl
+        d_out = pnorm(delta)
+        outside = d_out > 1e-12
+        n_out = pscale(delta, -1.0 / jnp.maximum(d_out, 1e-20))
+        penx, peny, penz = hx - jnp.abs(dl.x), hy - jnp.abs(dl.y), hz - jnp.abs(dl.z)
+        m = jnp.minimum(penx, jnp.minimum(peny, penz))
+        ax_x = (penx <= peny) & (penx <= penz)
+        ax_y = (~ax_x) & (peny <= penz)
+        ax_z = (~ax_x) & (~ax_y)
+        sg = lambda c: jnp.where(c >= 0.0, 1.0, -1.0)  # noqa: E731
+        n_in = P3(-jnp.where(ax_x, sg(dl.x), 0.0),
+                  -jnp.where(ax_y, sg(dl.y), 0.0),
+                  -jnp.where(ax_z, sg(dl.z), 0.0))
+        depth = jnp.where(outside, r_sph - d_out, r_sph + m)
+        nl = pwhere(outside, n_out, n_in)
+        nw = P3(r00 * nl.x + r01 * nl.y + r02 * nl.z,
+                r10 * nl.x + r11 * nl.y + r12 * nl.z,
+                r20 * nl.x + r21 * nl.y + r22 * nl.z)
+        return depth, nw, jnp.maximum(d_out - r_sph, 0.0)
+
+    d_sb, n_sb, g_sb = sphere_vs_box(pos1, r1, sb)
+    d_bs, n_bs, g_bs = sphere_vs_box(pos2, r2, sa)
+    n_bs = -n_bs
+
+    depth = jnp.where(both_swept, depth_ss, jnp.where(s_b, d_sb, d_bs))
+    normal = pwhere(both_swept, n_ss, pwhere(s_b, n_sb, n_bs))
+    gap = jnp.where(both_swept, gap_ss, jnp.where(s_b, g_sb, g_bs))
+    hit = final & (depth > 0.0)
+    depth = jnp.where(hit, depth, 0.0)
+    normal = pwhere(hit, normal, pzero(block))
+    status = jnp.where(hit, jnp.int32(Status.HIT),
+                       jnp.where(gap > tol, jnp.int32(Status.MISS_BROADPHASE),
+                                 jnp.int32(Status.MISS_GJK)))
+    return final, depth, normal, gap, status
+
+
 def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
     sa = sa_ref[:, :]
     sb = sb_ref[:, :]
     support = _make_shape_support(sa, sb)
-    active = _shape_broadphase(sa, sb, cfg.broadphase_tol)
-    # row 16 of the packed shape block: closed-form-handled flag (these
-    # lanes are answered exactly outside the kernel; retire immediately)
-    active = active & (sa[16:17, :] < 0.5)
+    final, cf_depth, cf_n, cf_gap, cf_status = _closed_form_rows(
+        sa, sb, cfg.broadphase_tol, block)
+    active = _shape_broadphase(sa, sb, cfg.broadphase_tol) & ~final
     simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
                                                  cfg, block)
+    status = jnp.where(final, cf_status, status)
+    sep = jnp.where(final, jnp.maximum(cf_gap, 0.0), sep)
     _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
+    # rows 16-20: closed-form channel (consumed by _run_two_phase's merge)
+    f = jnp.float32
+    fin_f = jnp.where(final, 1.0, 0.0).astype(f)
+    out_ref[16:17, :] = fin_f
+    out_ref[17:18, :] = cf_depth.astype(f)
+    out_ref[18:19, :] = cf_n.x.astype(f)
+    out_ref[19:20, :] = cf_n.y.astype(f)
+    out_ref[20:21, :] = cf_n.z.astype(f)
 
 
 def _closed_form_shape_pairs(a, b, broadphase_tol):
     """Exact narrow-phase answers for the analytic pair types that have
     closed forms: {sphere,capsule} x {sphere,capsule} (swept-sphere
     segment-segment distance) and sphere-box (point-box clamp).
+
+    NOTE: the production path computes these IN-KERNEL (`_closed_form_rows`,
+    the row-vectorized twin of this function, written out via the
+    kernel-final channel).  This XLA version is retained as the
+    differential oracle for that kernel code (tests/test_fused.py) — the
+    two must agree to f32 eps on every lane.
 
     These are precisely the smooth-shape pairs on which polytope EPA
     converges slowest AND carries ~1e-4*R polyhedral depth error; the
@@ -1572,10 +1693,10 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     if bsz % block != 0:
         block = 128
     nb = bsz // block
-    handled, c_hit, c_depth, c_normal, c_gap, c_status = \
-        _closed_form_shape_pairs(a, b, cfg.broadphase_tol)
-    handled = handled & (jnp.arange(bsz) < b_user)  # pad lanes: kernel path
-    sa = _pack_shapes(a, nb, block, skip=handled)
+    # closed-form analytic pairs are answered inside the GJK kernel
+    # (_closed_form_rows) and carried out via the kernel-final channel —
+    # no XLA-side merge passes
+    sa = _pack_shapes(a, nb, block)
     sb = _pack_shapes(b, nb, block)
     specs = (_vecspec(24, block), _vecspec(24, block))
 
@@ -1602,18 +1723,6 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     res = _run_two_phase(gjk_wrap, epa_kernels, (sa, sb), specs, bsz, block,
                          interpret, sort_hits, epa_block=eb,
                          epa_geom_specs=epa_specs)
-    # merge the exact closed-form lanes (handled lanes were inactive in the
-    # kernels; their GJK/EPA counters are 0 by construction)
-    h1 = handled[:, None]
-    res = FusedResult(
-        hit=jnp.where(handled, c_hit, res.hit),
-        status=jnp.where(handled, c_status, res.status),
-        depth=jnp.where(handled, c_depth, res.depth),
-        normal=jnp.where(h1, c_normal, res.normal),
-        gjk_iters=jnp.where(handled, 0, res.gjk_iters),
-        epa_iters=jnp.where(handled, 0, res.epa_iters),
-        distance=jnp.where(handled, c_gap, res.distance),
-    )
     if bsz != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res

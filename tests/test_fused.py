@@ -141,3 +141,52 @@ def test_fused_distance_matches_xla(rng):
     # witnesses realize the distance
     gap = np.linalg.norm(np.asarray(rf.point_a) - np.asarray(rf.point_b), axis=1)
     np.testing.assert_allclose(gap[m], np.asarray(rf.distance)[m], atol=1e-5)
+
+
+def test_kernel_closed_form_matches_xla_oracle(rng):
+    """The in-kernel closed-form channel (_closed_form_rows) must agree
+    with its XLA twin (_closed_form_shape_pairs) on every handled lane —
+    hit, depth, normal, and status."""
+    import numpy as np
+
+    from gjkepa_tpu.models.shapes import (boxes, capsules, concat_shapes,
+                                          spheres)
+    from gjkepa_tpu.ops.fused import (_closed_form_shape_pairs,
+                                      fused_gjkepa_shapes)
+
+    n = 64
+
+    def rots(k):
+        ms = []
+        for _ in range(k):
+            q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            ms.append(q)
+        return jnp.asarray(np.stack(ms), jnp.float32)
+
+    pos = lambda: jnp.asarray(  # noqa: E731
+        rng.normal(size=(n, 3)).astype(np.float32) * 0.8)
+    r = lambda: jnp.asarray(  # noqa: E731
+        (0.3 + 0.4 * rng.random(n)).astype(np.float32))
+    a = concat_shapes(
+        spheres(r(), pos=pos()),
+        capsules(r(), r(), pos=pos(), rot=rots(n)),
+        spheres(r(), pos=pos()),
+    )
+    b = concat_shapes(
+        capsules(r(), r(), pos=pos(), rot=rots(n)),
+        capsules(r(), r(), pos=pos(), rot=rots(n)),
+        boxes(jnp.asarray(0.2 + 0.4 * rng.random((n, 3)), jnp.float32),
+              pos=pos(), rot=rots(n)),
+    )
+    cfg = GJKEPAConfig.for_f32()
+    res = fused_gjkepa_shapes(a, b, cfg=cfg, interpret=True)
+    handled, c_hit, c_depth, c_normal, c_gap, c_status = (
+        np.asarray(x) for x in _closed_form_shape_pairs(a, b, cfg.broadphase_tol))
+    assert handled.all()  # every pair type here has a closed form
+    np.testing.assert_array_equal(np.asarray(res.hit), c_hit)
+    np.testing.assert_array_equal(np.asarray(res.status), c_status)
+    np.testing.assert_allclose(np.asarray(res.depth), c_depth, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(res.normal), c_normal, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(res.epa_iters), 0)
