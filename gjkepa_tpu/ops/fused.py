@@ -1054,10 +1054,18 @@ def _cascade_plan(cfg):
         return []
     rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
     full_f = rup(max(2 * cfg.epa_max_iters + 10, cfg.epa_max_faces))
-    if full_f <= 48:
-        return [("fast", cfg.replace(epa_max_faces=48), 16)]
-    return [("fast", cfg.replace(epa_max_faces=48), 8),
-            ("fast", cfg.replace(epa_max_faces=full_f), 16)]
+    # Tier ladder measured on v5e (64k mixed-analytic + 16k deep-hull
+    # workloads): a middle F=88 tier lets slow-converging curved contacts
+    # (30-40 iterations ~ 80+ live faces) finish without restarting at the
+    # worst-case F=208 budget, while polytopal contacts (<= 20 iterations)
+    # still run the cheap F=48 tier.  48/88/208 beat both the 2-stage
+    # 48/208 plan (c3 11.2 -> 13.9M q/s) and every single-stage plan that
+    # was tried on at least one workload.
+    tiers = [(48, 8), (88, 8)]
+    stages = [("fast", cfg.replace(epa_max_faces=f), k)
+              for f, k in tiers if f < full_f]
+    stages.append(("fast", cfg.replace(epa_max_faces=full_f), 16))
+    return stages
 
 
 def _vecspec(rows, block):
