@@ -1074,7 +1074,8 @@ def _vecspec(rows, block):
 
 
 def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
-                   interpret, sort_hits, epa_block=None, epa_geom_specs=None):
+                   interpret, sort_hits, epa_block=None, epa_geom_specs=None,
+                   tier_row=None):
     """Shared multi-phase driver.
 
     Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
@@ -1157,7 +1158,22 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     # regating stage s+1 is a per-lane mask update with NO further sorts or
     # geometry gathers.  The inverse permutation is computed with cumsums
     # (no second argsort): dest[i] = rank of lane i among (hits, misses).
-    if sort_hits:
+    if sort_hits and tier_row is not None:
+        # 3-group sort: (active & tier) lanes lead, then (active & ~tier),
+        # then inactive — so the dual-tier stage-1 kernel sees homogeneous
+        # blocks and picks each block's face budget by its content
+        tier = gflat[:, tier_row] > 0.5
+        g0 = epa_act & tier
+        g1 = epa_act & ~tier
+        key = jnp.where(g0, 0, jnp.where(g1, 1, 2)).astype(jnp.int32)
+        order = jnp.argsort(key, stable=True)
+        c0 = jnp.cumsum(g0.astype(jnp.int32))
+        c1 = jnp.cumsum(g1.astype(jnp.int32))
+        c2 = jnp.cumsum((~epa_act).astype(jnp.int32))
+        n0, n1 = c0[-1], c1[-1]
+        dest = jnp.where(g0, c0 - 1,
+                         jnp.where(g1, n0 + c1 - 1, n0 + n1 + c2 - 1))
+    elif sort_hits:
         order = jnp.argsort(~epa_act, stable=True)           # EPA lanes first
         act_i = epa_act.astype(jnp.int32)
         n_act = jnp.sum(act_i)
@@ -1531,6 +1547,13 @@ def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
     out_ref[18:19, :] = cf_n.x.astype(f)
     out_ref[19:20, :] = cf_n.y.astype(f)
     out_ref[20:21, :] = cf_n.z.astype(f)
+    # row 21: smooth-pair tier flag — any non-box shape on either side
+    # means a curved contact whose EPA runs 30-40 iterations (80+ live
+    # faces); these lanes are grouped and dispatched to the F=88 branch of
+    # the dual-tier stage-1 kernel instead of overflowing F=48
+    k1, k2 = sa[0:1, :], sb[0:1, :]
+    box_box = (jnp.abs(k1 - 1.0) < 0.5) & (jnp.abs(k2 - 1.0) < 0.5)
+    out_ref[21:22, :] = jnp.where(box_box, 0.0, 1.0).astype(f)
 
 
 def _closed_form_shape_pairs(a, b, broadphase_tol):
@@ -1650,6 +1673,46 @@ def _epa_fast_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block,
     _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
+def _epa_dual_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block,
+                            tiers):
+    """Stage-1 EPA with a per-BLOCK face-budget tier select.
+
+    The hit-sort groups smooth-pair lanes (gin row 21, set by the GJK
+    kernel) ahead of polytopal ones, so a block is (almost) homogeneous:
+    if any active lane in the block is smooth the whole block runs the
+    large tier (curved contacts run 30-40 iterations and need 80+ live
+    faces), otherwise the cheap tier.  One launch, no extra per-program
+    floor — the tier choice is a scalar cond, exactly like _epa_guard's
+    activity skip.  Lanes that still exhaust their tier's capacity exit
+    with HIT_EPA_CAPACITY and are re-run by the final worst-case stage."""
+    support = _make_shape_support(sa_ref[:, :], sb_ref[:, :])
+    active = gin_ref[0:1, :] > 0.5
+    smooth = gin_ref[21:22, :] > 0.5
+    simplex = _read_simplex(gin_ref)
+    (f_big, k_big), (f_small, k_small) = tiers
+    z1 = jnp.zeros((1, block), jnp.float32)
+    zi = jnp.zeros((1, block), jnp.int32)
+
+    def big(_):
+        return _epa_phase_fast(support, simplex, active,
+                               cfg.replace(epa_max_faces=f_big), block,
+                               k_vis=k_big)
+
+    def small(_):
+        return _epa_phase_fast(support, simplex, active,
+                               cfg.replace(epa_max_faces=f_small), block,
+                               k_vis=k_small)
+
+    def skip(_):
+        return z1, P3(z1, z1, z1), zi, zi
+
+    depth, normal, epa_iters, status = lax.cond(
+        jnp.any(active),
+        lambda _: lax.cond(jnp.any(active & smooth), big, small, None),
+        skip, None)
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
+
+
 def _pack_shapes(batch, nb, block, skip=None):
     """ShapeBatch -> (nb, 24, block) f32 packed rows.
 
@@ -1715,22 +1778,31 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     eb = min(block, 128)
     epa_specs = (_vecspec(24, eb), _vecspec(24, eb))
 
-    def mk_epa(kind, c, kv):
-        if kind == "fast":
-            def epa_wrap(sar, sbr, ginr, outr):
-                _epa_fast_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
-                                        outr.at[0], cfg=c, block=eb,
-                                        k_vis=kv)
-        else:
-            def epa_wrap(sar, sbr, ginr, outr):
-                _epa_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
-                                   outr.at[0], cfg=c, block=eb)
-        return epa_wrap
+    # Shapes cascade: dual-tier stage 1 (per-block F=88 smooth / F=48
+    # polytopal, selected by the 3-group hit-sort + gin row 21) and a
+    # worst-case final stage for capacity leftovers.  The hull pipeline
+    # keeps the generic _cascade_plan ladder (no shape kinds to key on).
+    epa_kernels = []
+    if cfg.epa_max_iters > 0:
+        rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+        full_f = rup(max(2 * cfg.epa_max_iters + 10, cfg.epa_max_faces))
+        tiers = ((min(88, full_f), 8), (min(48, full_f), 8))
 
-    epa_kernels = [mk_epa(k, c, kv) for k, c, kv in _cascade_plan(cfg)]
+        def dual_wrap(sar, sbr, ginr, outr):
+            _epa_dual_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
+                                    outr.at[0], cfg=cfg, block=eb,
+                                    tiers=tiers)
+
+        def full_wrap(sar, sbr, ginr, outr):
+            _epa_fast_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
+                                    outr.at[0],
+                                    cfg=cfg.replace(epa_max_faces=full_f),
+                                    block=eb, k_vis=16)
+
+        epa_kernels = [dual_wrap, full_wrap]
     res = _run_two_phase(gjk_wrap, epa_kernels, (sa, sb), specs, bsz, block,
                          interpret, sort_hits, epa_block=eb,
-                         epa_geom_specs=epa_specs)
+                         epa_geom_specs=epa_specs, tier_row=21)
     if bsz != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res
