@@ -1184,8 +1184,11 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     geom_p = tuple(permute_geom(a, order) for a in geom_arrays)
     g_perm = gflat[order]
     gin = jnp.swapaxes(g_perm.reshape(enb, eb, 24), 1, 2)
-    # EPA activity excludes kernel-final lanes (row 16), not just misses
-    act_p = epa_act[order]
+    # EPA activity excludes kernel-final lanes (row 16), not just misses.
+    # Recomputed from the permuted f32 rows — gathering a pred[B] array by
+    # `order` lowers to a pathological packed-bool gather (measured 527 us
+    # for 64k lanes vs ~100 us for the full (B, 24) f32 gather).
+    act_p = (g_perm[:, 0] > 0.5) & (g_perm[:, 16] < 0.5)
     gin = gin.at[:, 0, :].set(
         jnp.where(act_p, 1.0, 0.0).reshape(enb, eb))
 
