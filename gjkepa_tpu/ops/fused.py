@@ -161,25 +161,42 @@ _FACE_IDX = ((0, 2, 3), (0, 1, 3), (0, 1, 2), (1, 2, 3))
 
 
 def _point_in_simplex(p: P3, s, eps_coincide, eps_zero):
-    """isPointInSimplex (ref :1217-1265): s is a tuple of 4 P3 vertices."""
+    """isPointInSimplex (ref :1217-1265): s is a tuple of 4 P3 vertices.
+
+    The on-face fallback (ref :1247-1260: |dist| < eps on some face =>
+    2-D point-in-triangle test) runs 4x `_is_inside_tri` (~160 vector
+    ops) but only matters for touching-contact configurations; it sits
+    behind a scalar cond so the common strictly-inside/outside case pays
+    only the 4 signed distances.  This is called once per GJK iteration —
+    the skip removes ~40% of the loop-body op count."""
     m = P3((s[0].x + s[1].x + s[2].x + s[3].x) * 0.25,
            (s[0].y + s[1].y + s[2].y + s[3].y) * 0.25,
            (s[0].z + s[1].z + s[2].z + s[3].z) * 0.25)
     all_pos = None
-    any_on_face = None
+    on_planes = []
     for i, (f0, f1, f2) in enumerate(_FACE_IDX):
         a, b, c = s[f0], s[f1], s[f2]
         nml = putz(pcross(a - b, b - c), eps_zero)
         flip = pdot(nml, s[i] - m) < 0.0
         nml = pwhere(flip, -nml, nml)
         dist = pdot(s[i] - p, nml)
-        on_plane = jnp.abs(dist) < eps_coincide
-        inside = _is_inside_tri(a, b, c, p, eps_zero)
-        onf = on_plane & inside
+        on_planes.append(jnp.abs(dist) < eps_coincide)
         pos = dist > 0.0
         all_pos = pos if all_pos is None else (all_pos & pos)
-        any_on_face = onf if any_on_face is None else (any_on_face | onf)
-    return any_on_face | all_pos
+    any_on_plane = on_planes[0] | on_planes[1] | on_planes[2] | on_planes[3]
+
+    def on_face_check(_):
+        r = None
+        for i, (f0, f1, f2) in enumerate(_FACE_IDX):
+            inside = _is_inside_tri(s[f0], s[f1], s[f2], p, eps_zero)
+            onf = on_planes[i] & inside
+            r = onf if r is None else (r | onf)
+        return jnp.where(r, jnp.int32(1), jnp.int32(0))
+
+    zero_i = jnp.where(all_pos, jnp.int32(0), jnp.int32(0))
+    any_on_face = lax.cond(jnp.any(any_on_plane), on_face_check,
+                           lambda _: zero_i, None)
+    return (any_on_face > 0) | all_pos
 
 
 def _vec_pl(p: P3, a: P3, b: P3, eps_zero) -> P3:
