@@ -165,3 +165,63 @@ def test_sphere_sphere_exact_depth():
     # witnesses on each surface
     np.testing.assert_allclose(np.asarray(r.nearest_points[0]),
                                [[1, 0, 0], [-0.5, 0, 0]], atol=1e-12)
+
+
+def test_fuzz_mixed_kind_pairs_fused_vs_xla(rng):
+    """Multi-seed fuzz over ALL 16 shape-kind pair combinations (the c3
+    bench fixture only exercises same-kind pairs): the fused pipeline
+    (closed-form channel + dual-tier EPA + cascade) must agree with the
+    portable XLA path on hit verdicts and depth for every combination,
+    including rotated capsules/cylinders against boxes."""
+    import numpy as np
+
+    from gjkepa_tpu import GJKEPAConfig
+    from gjkepa_tpu.models.shapes import (boxes, capsules, concat_shapes,
+                                          cylinders, spheres)
+    from gjkepa_tpu.ops.fused import fused_gjkepa_shapes
+
+    cfg = GJKEPAConfig.for_f32()
+
+    def rots(k, r):
+        ms = []
+        for _ in range(k):
+            q = np.linalg.qr(r.normal(size=(3, 3)))[0]
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            ms.append(q)
+        return jnp.asarray(np.stack(ms), jnp.float32)
+
+    def batch_of_kind(kind, n, r):
+        pos = jnp.asarray(r.normal(size=(n, 3)).astype(np.float32) * 0.9)
+        rr = rots(n, r)
+        p0 = jnp.asarray((0.3 + 0.4 * r.random(n)).astype(np.float32))
+        p1 = jnp.asarray((0.2 + 0.4 * r.random(n)).astype(np.float32))
+        if kind == 0:
+            return spheres(p0, pos=pos)
+        if kind == 1:
+            return boxes(jnp.stack([p0, p1, p0], 1), pos=pos, rot=rr)
+        if kind == 2:
+            return capsules(p0, p1, pos=pos, rot=rr)
+        return cylinders(p0, p1, pos=pos, rot=rr)
+
+    for seed in (11, 23):
+        r = np.random.default_rng(seed)
+        n = 8  # per kind-pair combination
+        a = concat_shapes(*[batch_of_kind(ka, n, r)
+                            for ka in range(4) for _ in range(4)])
+        b = concat_shapes(*[batch_of_kind(kb, n, r)
+                            for _ in range(4) for kb in range(4)])
+        rf = fused_gjkepa_shapes(a, b, cfg=cfg, interpret=True)
+        from gjkepa_tpu.api import collide_shapes_batch
+        rx = collide_shapes_batch(a, b, cfg=cfg)
+        hit_f = np.asarray(rf.hit)
+        hit_x = np.asarray(rx.hit)
+        np.testing.assert_array_equal(
+            hit_f, hit_x, err_msg=f"seed {seed}: hit verdicts diverge")
+        both = hit_f & (np.asarray(rf.status) == 3) & (np.asarray(rx.status) == 3)
+        df, dx = np.asarray(rf.depth)[both], np.asarray(rx.depth)[both]
+        # smooth-shape EPA carries polyhedral error on BOTH paths; they
+        # must still agree to the f32 convergence budget
+        np.testing.assert_allclose(
+            df, dx, atol=5e-5,
+            err_msg=f"seed {seed}: depth diverges on converged lanes")
