@@ -35,9 +35,12 @@ else:
     # 8-virtual-device CPU backend.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    # Persistent compile cache: the masked while-loops are compile-heavy on
-    # the CPU backend; cache across test runs.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gjkepa_tpu_jax_cache")
+    # NO persistent compile cache on the CPU tier: this jaxlib's XLA:CPU
+    # executable (de)serialization segfaults non-deterministically on the
+    # larger programs (observed in both compilation_cache.get_... line 238
+    # — deserialize — and put_... line 265 — executable.serialize() —
+    # during full-suite runs).  Correctness over warm-start speed; the TPU
+    # tier keeps its cache (different, stable serialization path).
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
@@ -66,3 +69,16 @@ def cube(center=(0, 0, 0), half=0.5):
         [[x, y, z] for x in (-half, half) for y in (-half, half) for z in (-half, half)]
     )
     return c + corners
+
+
+def pytest_configure(config):
+    # The TPU tier must stay single-process: xdist workers (the -n 4
+    # default in pyproject, a workaround for this environment's flaky
+    # XLA:CPU compiler in long single processes) would share the ONE
+    # tunneled TPU chip and hang/corrupt each other.  xdist registers
+    # before conftest hooks can zero numprocesses, so fail fast with the
+    # right invocation instead of hanging.
+    if _TPU_MODE and os.environ.get("PYTEST_XDIST_WORKER"):
+        raise pytest.UsageError(
+            "GJKEPA_TPU_TESTS=1 must run single-process: add '-n 0' "
+            "(one tunneled TPU chip; xdist workers would contend)")

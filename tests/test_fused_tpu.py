@@ -5,7 +5,9 @@ Mosaic lowering regression would pass it and fail on hardware.  These tests
 run the COMPILED kernels and compare against the same kernels in interpret
 mode (bitwise-comparable arithmetic) and the XLA path.
 
-Run with:  GJKEPA_TPU_TESTS=1 python -m pytest tests/test_fused_tpu.py -q
+Run with:  GJKEPA_TPU_TESTS=1 python -m pytest tests/test_fused_tpu.py -q -n 0
+(single-process REQUIRED: one tunneled TPU; the -n 4 xdist default would
+contend on it — the conftest fails fast if workers are detected)
 
 Shapes are chosen to match bench.py's programs so the persistent compile
 cache makes this cheap (~seconds when warm).
