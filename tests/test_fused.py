@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gjkepa_tpu import GJKEPAConfig, gjkepa_batch
 from gjkepa_tpu.ops.fused import fused_gjkepa_hulls
@@ -190,3 +191,41 @@ def test_kernel_closed_form_matches_xla_oracle(rng):
     np.testing.assert_allclose(np.asarray(res.depth), c_depth, atol=2e-6)
     np.testing.assert_allclose(np.asarray(res.normal), c_normal, atol=2e-6)
     np.testing.assert_array_equal(np.asarray(res.epa_iters), 0)
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_fused_full_api_contact_versions(rng, version):
+    """The fused full-surface path under contact-point versions 1 and 3
+    (the version-2 path is covered by test_fused_full_api_matches_xla):
+    contact point / normal / type must match the portable XLA batch path,
+    including version 3's normal rewrite (ref :334-335, :426-452)."""
+    import numpy as np
+
+    from gjkepa_tpu import GJKEPAConfig, gjkepa_batch
+    from gjkepa_tpu.api import gjkepa_batch_fused
+    from tests.conftest import random_hull
+
+    cfg = GJKEPAConfig.for_f32().replace(version=version)
+    b = 32
+    p1 = np.stack([random_hull(rng, 10, center=rng.normal(size=3) * 0.4)
+                   for _ in range(b)]).astype(np.float32)
+    p2 = np.stack([random_hull(rng, 10, center=rng.normal(size=3) * 0.4)
+                   for _ in range(b)]).astype(np.float32)
+    rf = gjkepa_batch_fused(jnp.asarray(p1), jnp.asarray(p2), cfg=cfg,
+                            interpret=True)
+    rx = gjkepa_batch(jnp.asarray(p1), jnp.asarray(p2), cfg=cfg)
+    hit = np.asarray(rx.hit)
+    np.testing.assert_array_equal(np.asarray(rf.hit), hit)
+    assert hit.sum() >= 4
+    # contact outputs are functions of the (per-path) EPA normal; compare
+    # only lanes where the two EPA mechanisms agreed on the normal
+    nf, nx = np.asarray(rf.normal), np.asarray(rx.normal)
+    agree = hit & (np.einsum("ij,ij->i", nf, nx) > 1.0 - 1e-5)
+    assert agree.sum() >= hit.sum() * 3 // 4
+    np.testing.assert_array_equal(np.asarray(rf.colli_type)[agree],
+                                  np.asarray(rx.colli_type)[agree])
+    np.testing.assert_allclose(np.asarray(rf.contact_point)[agree],
+                               np.asarray(rx.contact_point)[agree],
+                               atol=2e-5)
+    if version == 3:  # the rewritten normal lies in the XY plane
+        np.testing.assert_allclose(nf[hit][:, 2], 0.0, atol=1e-6)
