@@ -46,6 +46,12 @@ __all__ = ["fused_gjkepa_hulls", "fused_gjkepa_shapes",
 
 _RUNNING = -1
 
+# Iteration budget for the capped-EPA + polish treatment of smooth analytic
+# pairs (see _epa_fast_kernel_shapes): enough expansions to localize the
+# contact-direction basin; the fixed-cost _polish_direction descent then
+# refines depth/normal beyond what converged f32 EPA achieves.
+_SMOOTH_EPA_CAP = 16
+
 # Init-retry directions, unrolled statically in-kernel (see _gjk_phase).
 _N_INIT_UNROLL = 8
 _TABLE_ROWS = tuple(tuple(float(x) for x in row)
@@ -72,6 +78,14 @@ class P3(NamedTuple):
 def pzero(block, dtype=jnp.float32):
     z = jnp.zeros((1, block), dtype)
     return P3(z, z, z)
+
+
+def _vzero(block):
+    """Lane-VARYING f32 zero: loop carries that a body rewrites per-lane
+    must not start as replicated constants (Mosaic relayout rule,
+    docs/DESIGN.md lowering rule on int carries — it applies to f32 too)."""
+    return jnp.minimum(lax.broadcasted_iota(jnp.int32, (1, block), 1),
+                       jnp.int32(0)).astype(jnp.float32)
 
 
 def pdot(a: P3, b: P3):
@@ -193,7 +207,10 @@ def _point_in_simplex(p: P3, s, eps_coincide, eps_zero):
             r = onf if r is None else (r | onf)
         return jnp.where(r, jnp.int32(1), jnp.int32(0))
 
-    zero_i = jnp.where(all_pos, jnp.int32(0), jnp.int32(0))
+    # lane-varying zero: both cond branches must produce the same (varying)
+    # layout — a replicated jnp.zeros constant breaks Mosaic's relayout
+    zero_i = jnp.minimum(
+        lax.broadcasted_iota(jnp.int32, p.x.shape, 1), jnp.int32(0))
     any_on_face = lax.cond(jnp.any(any_on_plane), on_face_check,
                            lambda _: zero_i, None)
     return (any_on_face > 0) | all_pos
@@ -915,6 +932,91 @@ def _epa_phase_fast(support, simplex, active, cfg: GJKEPAConfig, block,
     return depth, normal, out["it"], status
 
 
+def _polish_direction(support, depth, normal: P3, status, ok, block,
+                      rounds: int = 6, spread: float = 0.45,
+                      shrink: float = 1.0 / 3.0,
+                      promote_capacity: bool = False):
+    """Fixed-cost refinement of (depth, normal) for smooth analytic pairs.
+
+    Penetration depth = min over unit directions d of the Minkowski
+    support value h(d) = <support(d), d> (distance from the origin to the
+    boundary of A(-)B).  Polytopal EPA approaches that minimum by face
+    refinement, which on smooth surfaces (the cylinder-rim tail,
+    docs/DESIGN.md) needs 30-90 data-dependent iterations and makes whole
+    blocks straggle.  For analytic shapes h(d) is exact and costs one
+    closed-form support probe, so after a *capped* EPA localizes the
+    basin, a fixed 3x3 tangent-grid descent (8 probes x `rounds`, step
+    shrinking by `shrink`) polishes the direction to ~1e-3 rad and the
+    depth to ~R*1e-6 — deterministic cost, no stragglers, and the result
+    is MORE accurate than converged f32 EPA (whose duplicate-support
+    termination leaves ~1e-3*R error, measured).
+
+    The reported depth h(d*) is realized along the reported normal:
+    translating B by depth*normal exactly separates the pair (an upper
+    bound of the true depth, vs EPA's lower-bound d_min) — the observable
+    contract of ref :994-1009 with a tighter error bar.
+
+    Lanes with ~ok (inactive, or degenerate zero normal) pass through.
+    Polished lanes report status HIT; capacity-stopped lanes keep their
+    status so the cascade can still re-run them at a bigger budget
+    (unless `promote_capacity`, for the final stage)."""
+    unit = pnorm(normal) > 0.5
+    ok = ok & unit
+    # orthonormal tangent basis at n (unit on ok lanes)
+    small_x = jnp.abs(normal.x) < 0.9
+    one = jnp.ones((1, block), jnp.float32)
+    zero = jnp.zeros((1, block), jnp.float32)
+    helper = P3(jnp.where(small_x, one, zero),
+                jnp.where(small_x, zero, one), zero)
+    u = putz(pcross(normal, helper), 1e-20)
+    v = pcross(normal, u)
+
+    def h_at(a, b):
+        # |n + a u + b v|^2 = 1 + a^2 + b^2 exactly (orthonormal frame)
+        inv = 1.0 / jnp.sqrt(1.0 + a * a + b * b)
+        d = P3((normal.x + a * u.x + b * v.x) * inv,
+               (normal.y + a * u.y + b * v.y) * inv,
+               (normal.z + a * u.z + b * v.z) * inv)
+        return pdot(support(d), d), d
+
+    a0 = _vzero(block)               # lane-varying: the body writes per-lane
+    b0 = _vzero(block)
+    best_h, _ = h_at(a0, b0)
+
+    # one probe per fori step (compile-size: one body, not rounds*8 copies);
+    # the 8 ring offsets around the center are derived arithmetically from
+    # the step index (a loop-carried table lookup trips Mosaic layout
+    # inference, DESIGN.md lowering rule 5)
+    def body(r, c):
+        best_h, a0, b0, s = c
+        k = r % 8
+        k2 = k + jnp.where(k >= 4, 1, 0)         # skip the (0,0) center
+        da = (k2 // 3 - 1).astype(jnp.float32)
+        db = (k2 % 3 - 1).astype(jnp.float32)
+        aa = a0 + da * s
+        bb = b0 + db * s
+        hh, _ = h_at(aa, bb)
+        better = ok & (hh < best_h)
+        best_h = jnp.where(better, hh, best_h)
+        a0 = jnp.where(better, aa, a0)
+        b0 = jnp.where(better, bb, b0)
+        s = jnp.where(k == 7, s * shrink, s)
+        return best_h, a0, b0, s
+
+    s0 = _vzero(block) + spread
+    best_h, a0, b0, _ = lax.fori_loop(0, 8 * rounds, body,
+                                      (best_h, a0, b0, s0))
+    _, d_best = h_at(a0, b0)
+    depth_out = jnp.where(ok, best_h, depth)
+    normal_out = pwhere(ok, d_best, normal)
+    if promote_capacity:
+        promote = ok
+    else:
+        promote = ok & (status != Status.HIT_EPA_CAPACITY)
+    status_out = jnp.where(promote, Status.HIT, status)
+    return depth_out, normal_out, status_out
+
+
 def _hull_broadphase(v1x, v1y, v1z, v2x, v2y, v2z, tol):
     c1 = P3(jnp.mean(v1x, axis=0, keepdims=True),
             jnp.mean(v1y, axis=0, keepdims=True),
@@ -991,6 +1093,95 @@ def _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status):
     out_ref[4:5, :] = epa_iters.astype(f)
     out_ref[5:6, :] = status.astype(f)
     out_ref[6:8, :] = jnp.zeros((2, block), f)
+
+
+def _make_hull_support_streamed(p1_ref, p2_ref, s1_ref, s2_ref, sem1, sem2,
+                                tile, block):
+    """Support map over hulls RESIDENT IN HBM, streamed through VMEM.
+
+    The resident kernels hold both (3, N, block) hull buffers in VMEM,
+    which caps N at ~4k vertices combined (VERDICT round-2 item 6 /
+    SURVEY.md §5.7).  Here the hulls stay in HBM (`pltpu.ANY` operands);
+    every support probe runs a fori_loop over N/tile slabs, DMA-ing each
+    (3, tile, block) slab into scratch and folding it into a running
+    (max-dot, argmax-vertex-coords) reduction — the support-scan analog of
+    blockwise attention.  Strict `>` folding keeps the FIRST maximum across
+    slabs, and argmax keeps it within a slab, so tie-breaking matches the
+    reference's sequential strict-> scan (ref :1040-1057) exactly.
+
+    Cost is bandwidth-bound: each probe re-reads both hulls (~24*N*block
+    bytes).  That is the honest price of N beyond VMEM; the resident
+    kernels remain the fast path for small N (`_auto_block`).
+    """
+    n1 = p1_ref.shape[2]
+    n2 = p2_ref.shape[2]
+    iota = lax.broadcasted_iota(jnp.int32, (tile, block), 0)
+    prog = pl.program_id(0)
+
+    def one_hull(p_ref, s_ref, sem, n, sign):
+        nt = n // tile
+
+        def scan(d: P3) -> P3:
+            def body(t, carry):
+                best, bx, by, bz = carry
+                cp = pltpu.make_async_copy(
+                    p_ref.at[prog, :, pl.ds(t * tile, tile), :], s_ref, sem)
+                cp.start()
+                cp.wait()
+                vx, vy, vz = s_ref[0, :, :], s_ref[1, :, :], s_ref[2, :, :]
+                dots = sign * (vx * d.x + vy * d.y + vz * d.z)
+                i = jnp.argmax(dots, axis=0, keepdims=True)
+                oh = iota == i
+                m = jnp.max(dots, axis=0, keepdims=True)
+                ax = jnp.sum(jnp.where(oh, vx, 0.0), axis=0, keepdims=True)
+                ay = jnp.sum(jnp.where(oh, vy, 0.0), axis=0, keepdims=True)
+                az = jnp.sum(jnp.where(oh, vz, 0.0), axis=0, keepdims=True)
+                better = m > best
+                return (jnp.where(better, m, best),
+                        jnp.where(better, ax, bx),
+                        jnp.where(better, ay, by),
+                        jnp.where(better, az, bz))
+
+            z = _vzero(block)            # lane-varying carry inits
+            best, bx, by, bz = lax.fori_loop(
+                0, nt, body, (z - 3.4e38, z, z, z))
+            return P3(bx, by, bz)
+
+        return scan
+
+    scan1 = one_hull(p1_ref, s1_ref, sem1, n1, 1.0)
+    scan2 = one_hull(p2_ref, s2_ref, sem2, n2, -1.0)
+
+    def support(d: P3) -> P3:
+        return scan1(d) - scan2(d)
+
+    return support
+
+
+def _gjk_kernel_hulls_big(p1_ref, p2_ref, act_ref, out_ref, s1, s2,
+                          sem1, sem2, *, cfg, block, tile):
+    """GJK over HBM-resident hulls (streamed support; broadphase comes in
+    precomputed via act_ref row 0 — it needs a full pass over the vertices,
+    which XLA does in one cheap map outside the kernel)."""
+    support = _make_hull_support_streamed(p1_ref, p2_ref, s1, s2, sem1, sem2,
+                                          tile, block)
+    active = act_ref[0:1, :] > 0.5
+    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
+                                                 cfg, block)
+    _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
+
+
+def _epa_fast_kernel_hulls_big(p1_ref, p2_ref, gin_ref, out_ref, s1, s2,
+                               sem1, sem2, *, cfg, block, tile, k_vis=8):
+    support = _make_hull_support_streamed(p1_ref, p2_ref, s1, s2, sem1, sem2,
+                                          tile, block)
+    active = gin_ref[0:1, :] > 0.5
+    simplex = _read_simplex(gin_ref)
+    depth, normal, epa_iters, status = _epa_guard(
+        active, block,
+        lambda: _epa_phase_fast(support, simplex, active, cfg, block,
+                                k_vis=k_vis))
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
 def _gjk_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, use_broadphase):
@@ -1092,7 +1283,7 @@ def _vecspec(rows, block):
 
 def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
                    interpret, sort_hits, epa_block=None, epa_geom_specs=None,
-                   tier_row=None):
+                   out_rows=24, geom_in_rows=False, scratch_shapes=None):
     """Shared multi-phase driver.
 
     Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
@@ -1129,15 +1320,16 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     gout = pl.pallas_call(
         gjk_kernel,
         grid=(nb,),
-        out_shape=jax.ShapeDtypeStruct((nb, 24, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, out_rows, block), jnp.float32),
         in_specs=list(geom_specs),
-        out_specs=_vecspec(24, block),
+        out_specs=_vecspec(out_rows, block),
+        scratch_shapes=scratch_shapes or [],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*geom_arrays)
 
-    gflat = jnp.swapaxes(gout, 1, 2).reshape(b, 24)          # (B, 24)
+    gflat = jnp.swapaxes(gout, 1, 2).reshape(b, out_rows)    # (B, R)
     hit = gflat[:, 0] > 0.5
     # rows 16-20: kernel-final channel (closed-form analytic lanes carry
     # their exact depth/normal straight from the GJK kernel; hull kernels
@@ -1146,12 +1338,14 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     epa_act = hit & ~final
 
     if not epa_kernels:  # boolean-only: one kernel launch, nothing else
-        zero = jnp.zeros((b,), jnp.float32)
+        # Closed-form analytic lanes (kernel-final channel, rows 17-20)
+        # carry exact depth/normal even in boolean mode — merge them so
+        # epa_max_iters=0 loses nothing on those lanes.
         return FusedResult(
             hit=hit,
             status=gflat[:, 1].astype(jnp.int32),
-            depth=zero,
-            normal=jnp.zeros((b, 3), jnp.float32),
+            depth=jnp.where(final, gflat[:, 17], 0.0),
+            normal=jnp.where(final[:, None], gflat[:, 18:21], 0.0),
             gjk_iters=gflat[:, 2].astype(jnp.int32),
             epa_iters=jnp.zeros((b,), jnp.int32),
             distance=gflat[:, 3],
@@ -1173,34 +1367,29 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     # cascade stages run in permuted space — a retried lane set is a subset
     # of the hit set, so it stays clustered in the leading blocks and
     # regating stage s+1 is a per-lane mask update with NO further sorts or
-    # geometry gathers.  The inverse permutation is computed with cumsums
-    # (no second argsort): dest[i] = rank of lane i among (hits, misses).
-    if sort_hits and tier_row is not None:
-        # 3-group sort: (active & tier) lanes lead, then (active & ~tier),
-        # then inactive — so the dual-tier stage-1 kernel sees homogeneous
-        # blocks and picks each block's face budget by its content
-        tier = gflat[:, tier_row] > 0.5
-        g0 = epa_act & tier
-        g1 = epa_act & ~tier
-        key = jnp.where(g0, 0, jnp.where(g1, 1, 2)).astype(jnp.int32)
-        order = jnp.argsort(key, stable=True)
-        c0 = jnp.cumsum(g0.astype(jnp.int32))
-        c1 = jnp.cumsum(g1.astype(jnp.int32))
-        c2 = jnp.cumsum((~epa_act).astype(jnp.int32))
-        n0, n1 = c0[-1], c1[-1]
-        dest = jnp.where(g0, c0 - 1,
-                         jnp.where(g1, n0 + c1 - 1, n0 + n1 + c2 - 1))
-    elif sort_hits:
-        order = jnp.argsort(~epa_act, stable=True)           # EPA lanes first
+    # geometry gathers.  BOTH permutations come from cumsums — no argsort:
+    # dest[i] = rank of lane i among (hits, misses) is a prefix count, and
+    # order = dest^-1 is one int32 scatter of iota (an XLA sort over 64k
+    # keys costs ~20 passes; the scatter is one).
+    if sort_hits:
         act_i = epa_act.astype(jnp.int32)
         n_act = jnp.sum(act_i)
         dest = jnp.where(epa_act, jnp.cumsum(act_i) - 1,
-                         n_act + jnp.cumsum(1 - act_i) - 1)  # == order^-1
+                         n_act + jnp.cumsum(1 - act_i) - 1)
+        order = jnp.zeros((b,), jnp.int32).at[dest].set(
+            jnp.arange(b, dtype=jnp.int32), unique_indices=True,
+            indices_are_sorted=False)
     else:
         order = dest = jnp.arange(b)
-    geom_p = tuple(permute_geom(a, order) for a in geom_arrays)
+    # `geom_in_rows`: the GJK kernel copied the per-pair geometry into its
+    # output rows (shapes path: packed shape rows 24-55), so the EPA phase
+    # needs ONE permuted gather of gflat instead of one per geometry array
+    # — this killed ~40% of the inter-phase XLA glue on the 64k analytic
+    # workload (the geometry permutes were reshape+gather+reshape each).
+    geom_p = (() if geom_in_rows
+              else tuple(permute_geom(a, order) for a in geom_arrays))
     g_perm = gflat[order]
-    gin = jnp.swapaxes(g_perm.reshape(enb, eb, 24), 1, 2)
+    gin = jnp.swapaxes(g_perm.reshape(enb, eb, out_rows), 1, 2)
     # EPA activity excludes kernel-final lanes (row 16), not just misses.
     # Recomputed from the permuted f32 rows — gathering a pred[B] array by
     # `order` lowers to a pathological packed-bool gather (measured 527 us
@@ -1209,13 +1398,16 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     gin = gin.at[:, 0, :].set(
         jnp.where(act_p, 1.0, 0.0).reshape(enb, eb))
 
+    epa_in_specs = ([] if geom_in_rows else list(epa_geom_specs))
+
     def epa_pass(epa_kernel, gin_stage):
         eout = pl.pallas_call(
             epa_kernel,
             grid=(enb,),
             out_shape=jax.ShapeDtypeStruct((enb, 8, eb), jnp.float32),
-            in_specs=list(epa_geom_specs) + [_vecspec(24, eb)],
+            in_specs=epa_in_specs + [_vecspec(out_rows, eb)],
             out_specs=_vecspec(8, eb),
+            scratch_shapes=scratch_shapes or [],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -1274,7 +1466,10 @@ def _mask_to_padding(p, mask):
     return jnp.where(mask[:, :, None], p, fv)
 
 
-def _auto_block(block, n1, n2, budget_bytes=6 * 1024 * 1024):
+_AUTO_BLOCK_BUDGET = 6 * 1024 * 1024
+
+
+def _auto_block(block, n1, n2, budget_bytes=_AUTO_BLOCK_BUDGET):
     """Clamp the lane-block width so both (3, N, block) f32 hull buffers fit
     a VMEM budget (SURVEY.md §5.7 large-hull scaling).  The kernels hold the
     whole padded hulls resident; at N=64 any block works, at N=1024 the
@@ -1300,6 +1495,78 @@ def _pad_batch(b, block, *arrays):
             pad_rows = pad_rows + jnp.asarray(4e4, a.dtype)
         out.append(jnp.concatenate([a, pad_rows], axis=0))
     return tuple(out), b + pad
+
+
+def _fused_hulls_streamed(p1, p2, b, cfg, use_broadphase, interpret,
+                          sort_hits, block: int = 128, tile: int = 1024):
+    """Large-N hull pipeline: HBM-resident hulls, streamed support scans.
+
+    Same two-phase dispatch and cascade semantics as the resident path;
+    hulls enter the kernels as `pltpu.ANY` (HBM) operands and every support
+    probe streams (3, tile, block) slabs through VMEM scratch
+    (_make_hull_support_streamed).  The lane width is fixed at 128 (probe
+    cost dominates; wide blocks buy nothing and quadruple scratch VMEM) and
+    the broadphase is precomputed in XLA (one cheap full pass).  The
+    vertex axis is padded to a tile multiple by repeating the first vertex
+    (adds no geometry; padding rows sit last so first-max tie-breaking is
+    unchanged — same argument as _mask_to_padding)."""
+    n1, n2 = p1.shape[1], p2.shape[1]
+
+    def pad_tile(p):
+        pad = (-p.shape[1]) % tile
+        if pad == 0:
+            return p
+        return jnp.concatenate([p, jnp.repeat(p[:, :1], pad, axis=1)], axis=1)
+
+    p1 = pad_tile(p1)
+    p2 = pad_tile(p2)
+    n1, n2 = p1.shape[1], p2.shape[1]
+    nb = b // block
+
+    def to_kernel_layout(p, n):
+        flat = jnp.swapaxes(p.reshape(nb, block, n * 3), 1, 2)
+        return flat.reshape(nb, n, 3, block).swapaxes(1, 2)
+
+    p1t = to_kernel_layout(p1, n1)
+    p2t = to_kernel_layout(p2, n2)
+
+    # broadphase outside the kernel (ref :1165-1188 semantics)
+    if use_broadphase:
+        c1 = jnp.mean(p1, axis=1)
+        c2 = jnp.mean(p2, axis=1)
+        r1 = jnp.max(jnp.linalg.norm(p1 - c1[:, None], axis=2), axis=1)
+        r2 = jnp.max(jnp.linalg.norm(p2 - c2[:, None], axis=2), axis=1)
+        active = (jnp.linalg.norm(c1 - c2, axis=1)
+                  <= r1 + r2 + cfg.broadphase_tol)
+    else:
+        active = jnp.ones((b,), bool)
+    act = jnp.zeros((nb, 8, block), jnp.float32).at[:, 0, :].set(
+        jnp.where(active, 1.0, 0.0).reshape(nb, block))
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    specs = (any_spec, any_spec, _vecspec(8, block))
+    scratch = [pltpu.VMEM((3, tile, block), jnp.float32),
+               pltpu.VMEM((3, tile, block), jnp.float32),
+               pltpu.SemaphoreType.DMA,
+               pltpu.SemaphoreType.DMA]
+
+    def gjk_wrap(p1r, p2r, actr, outr, s1, s2, m1, m2):
+        _gjk_kernel_hulls_big(p1r, p2r, actr.at[0], outr.at[0], s1, s2,
+                              m1, m2, cfg=cfg, block=block, tile=tile)
+
+    def mk_epa(c, kv):
+        def epa_wrap(p1r, p2r, actr, ginr, outr, s1, s2, m1, m2):
+            del actr  # EPA activity comes from the gin block
+            _epa_fast_kernel_hulls_big(p1r, p2r, ginr.at[0], outr.at[0],
+                                       s1, s2, m1, m2, cfg=c, block=block,
+                                       tile=tile, k_vis=kv)
+        return epa_wrap
+
+    epa_kernels = [mk_epa(c, kv) for kind, c, kv in _cascade_plan(cfg)
+                   if kind == "fast"]
+    return _run_two_phase(gjk_wrap, epa_kernels, (p1t, p2t, act), specs, b,
+                          block, interpret, sort_hits,
+                          scratch_shapes=scratch)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "use_broadphase",
@@ -1330,6 +1597,14 @@ def fused_gjkepa_hulls(p1, p2, mask1=None, mask2=None,
     b_user = p1.shape[0]
     (p1, p2), b = _pad_batch(b_user, min(block, 128), p1, p2)
     n1, n2 = p1.shape[1], p2.shape[1]
+    if (n1 + n2) * 3 * 4 * 128 > _AUTO_BLOCK_BUDGET:
+        # hulls too large to hold VMEM-resident at any lane width: stream
+        # them through VMEM from HBM (SURVEY.md §5.7, VERDICT round-2 item 6)
+        res = _fused_hulls_streamed(p1, p2, b, cfg, use_broadphase,
+                                    interpret, sort_hits)
+        if b != b_user:
+            res = FusedResult(*(x[:b_user] for x in res))
+        return res
     block = _auto_block(min(block, b), n1, n2)
     if b % block != 0:
         block = 128
@@ -1452,11 +1727,18 @@ def _shape_broadphase(sa, sb, tol):
 
 def _closed_form_rows(sa, sb, tol, block):
     """In-kernel exact answers for the analytic pair types with closed
-    forms: {sphere,capsule} x {sphere,capsule} (swept-sphere
-    segment-segment distance) and sphere-box (point-box clamp) — the
-    row-vectorized twin of the retired XLA-side `_closed_form_shape_pairs`
-    (same math, same observables; moved in-kernel so the 64k-batch
-    pipeline does not pay ~0.4 ms of separate fusion passes + merges).
+    forms — the row-vectorized twin of `_closed_form_shape_pairs` (same
+    math, same observables; computed in-kernel so the 64k-batch pipeline
+    does not pay separate fusion passes + merges):
+
+      * {sphere,capsule} x {sphere,capsule}: swept-sphere segment-segment
+        distance;
+      * sphere-box (either order): point-box clamp;
+      * sphere-cylinder (either order): point-vs-solid-cylinder clamp;
+      * box-box: SAT over the 15 separating axes (3+3 face normals +
+        9 edge cross products — exactly the face normals of the box-box
+        Minkowski difference, so the minimum-overlap axis IS the exact
+        EPA depth/normal, ref observables :994-1009).
 
     Returns (final, depth, normal P3, gap, status); `final` lanes bypass
     GJK/EPA entirely.  Normal points A -> B (EPA convention)."""
@@ -1468,7 +1750,10 @@ def _closed_form_rows(sa, sb, tol, block):
     both_swept = is_ss1 & is_ss2
     s_b = (k1 < 0.5) & (jnp.abs(k2 - 1.0) < 0.5)
     b_s = (jnp.abs(k1 - 1.0) < 0.5) & (k2 < 0.5)
-    final = both_swept | s_b | b_s
+    s_c = (k1 < 0.5) & (k2 > 2.5)
+    c_s = (k1 > 2.5) & (k2 < 0.5)
+    b_b = (jnp.abs(k1 - 1.0) < 0.5) & (jnp.abs(k2 - 1.0) < 0.5)
+    final = both_swept | s_b | b_s | s_c | c_s | b_b
 
     pos1 = P3(sa[4:5, :], sa[5:6, :], sa[6:7, :])
     pos2 = P3(sb[4:5, :], sb[5:6, :], sb[6:7, :])
@@ -1535,9 +1820,92 @@ def _closed_form_rows(sa, sb, tol, block):
     d_bs, n_bs, g_bs = sphere_vs_box(pos2, r2, sa)
     n_bs = -n_bs
 
+    # -- sphere-cylinder (either order): point vs solid cylinder -------------
+    def sphere_vs_cyl(c_sph, r_sph, s_cyl):
+        pc = P3(s_cyl[4:5, :], s_cyl[5:6, :], s_cyl[6:7, :])
+        rc, hc = s_cyl[1:2, :], s_cyl[2:3, :]
+        r00, r01, r02 = s_cyl[7:8, :], s_cyl[8:9, :], s_cyl[9:10, :]
+        r10, r11, r12 = s_cyl[10:11, :], s_cyl[11:12, :], s_cyl[12:13, :]
+        r20, r21, r22 = s_cyl[13:14, :], s_cyl[14:15, :], s_cyl[15:16, :]
+        d = c_sph - pc
+        dl = P3(r00 * d.x + r10 * d.y + r20 * d.z,
+                r01 * d.x + r11 * d.y + r21 * d.z,
+                r02 * d.x + r12 * d.y + r22 * d.z)
+        rho = jnp.sqrt(dl.x * dl.x + dl.y * dl.y)
+        inv_rho = 1.0 / jnp.maximum(rho, 1e-20)
+        # scale is EXACTLY 1.0 inside (clip semantics): rho*(1/rho) = 1 +/-
+        # 1 ulp would leave delta ~ 1e-8 > eps and misclassify inside lanes
+        scale = jnp.where(rho > rc, rc * inv_rho, 1.0)
+        qz = jnp.clip(dl.z, -hc, hc)
+        delta = P3(dl.x - dl.x * scale, dl.y - dl.y * scale, dl.z - qz)
+        d_out = pnorm(delta)
+        outside = d_out > 1e-12
+        n_out = pscale(delta, -1.0 / jnp.maximum(d_out, 1e-20))
+        pen_lat = rc - rho
+        pen_cap = hc - jnp.abs(dl.z)
+        use_lat = pen_lat <= pen_cap
+        lx = jnp.where(rho > 1e-12, dl.x * inv_rho, 1.0)
+        ly = jnp.where(rho > 1e-12, dl.y * inv_rho, 0.0)
+        sgz = jnp.where(dl.z >= 0.0, 1.0, -1.0)
+        n_in = P3(jnp.where(use_lat, -lx, 0.0),
+                  jnp.where(use_lat, -ly, 0.0),
+                  jnp.where(use_lat, 0.0, -sgz))
+        depth = jnp.where(outside, r_sph - d_out,
+                          r_sph + jnp.minimum(pen_lat, pen_cap))
+        nl = pwhere(outside, n_out, n_in)
+        nw = P3(r00 * nl.x + r01 * nl.y + r02 * nl.z,
+                r10 * nl.x + r11 * nl.y + r12 * nl.z,
+                r20 * nl.x + r21 * nl.y + r22 * nl.z)
+        return depth, nw, jnp.maximum(d_out - r_sph, 0.0)
+
+    d_sc, n_sc, g_sc = sphere_vs_cyl(pos1, r1, sb)
+    d_cs, n_cs, g_cs = sphere_vs_cyl(pos2, r2, sa)
+    n_cs = -n_cs
+
+    # -- box-box: SAT minimum-translation over the 15 axes -------------------
+    def box_box_sat(sa_, sb_):
+        ha = (sa_[1:2, :], sa_[2:3, :], sa_[3:4, :])
+        hb = (sb_[1:2, :], sb_[2:3, :], sb_[3:4, :])
+        ax = [P3(sa_[7 + j:8 + j, :], sa_[10 + j:11 + j, :],
+                 sa_[13 + j:14 + j, :]) for j in range(3)]
+        bx = [P3(sb_[7 + j:8 + j, :], sb_[10 + j:11 + j, :],
+                 sb_[13 + j:14 + j, :]) for j in range(3)]
+        t = pos2 - pos1
+        BIGF = jnp.float32(3.4e38)
+        axes = ax + bx + [pcross(ax[i], bx[j])
+                          for i in range(3) for j in range(3)]
+        best = jnp.full((1, block), BIGF)
+        bn = pzero(block)
+        sep = jnp.full((1, block), -BIGF)
+        for L in axes:
+            ln2 = pdot(L, L)
+            valid = ln2 > 1e-12
+            inv = 1.0 / jnp.sqrt(jnp.where(valid, ln2, 1.0))
+            s = pdot(t, L) * inv
+            ra = (ha[0] * jnp.abs(pdot(ax[0], L)) + ha[1] * jnp.abs(pdot(ax[1], L))
+                  + ha[2] * jnp.abs(pdot(ax[2], L))) * inv
+            rb = (hb[0] * jnp.abs(pdot(bx[0], L)) + hb[1] * jnp.abs(pdot(bx[1], L))
+                  + hb[2] * jnp.abs(pdot(bx[2], L))) * inv
+            ov = ra + rb - jnp.abs(s)
+            sep = jnp.maximum(sep, jnp.where(valid, -ov, -BIGF))
+            ovv = jnp.where(valid, ov, BIGF)
+            better = ovv < best
+            best = jnp.where(better, ovv, best)
+            sgn = jnp.where(s >= 0.0, 1.0, -1.0)
+            bn = pwhere(better, pscale(L, inv * sgn), bn)
+        return best, bn, jnp.maximum(sep, 0.0)
+
+    d_bb, n_bb, g_bb = box_box_sat(sa, sb)
+
     depth = jnp.where(both_swept, depth_ss, jnp.where(s_b, d_sb, d_bs))
     normal = pwhere(both_swept, n_ss, pwhere(s_b, n_sb, n_bs))
     gap = jnp.where(both_swept, gap_ss, jnp.where(s_b, g_sb, g_bs))
+    depth = jnp.where(s_c, d_sc, jnp.where(c_s, d_cs, depth))
+    normal = pwhere(s_c, n_sc, pwhere(c_s, n_cs, normal))
+    gap = jnp.where(s_c, g_sc, jnp.where(c_s, g_cs, gap))
+    depth = jnp.where(b_b, d_bb, depth)
+    normal = pwhere(b_b, n_bb, normal)
+    gap = jnp.where(b_b, g_bb, gap)
     hit = final & (depth > 0.0)
     depth = jnp.where(hit, depth, 0.0)
     normal = pwhere(hit, normal, pzero(block))
@@ -1545,6 +1913,14 @@ def _closed_form_rows(sa, sb, tol, block):
                        jnp.where(gap > tol, jnp.int32(Status.MISS_BROADPHASE),
                                  jnp.int32(Status.MISS_GJK)))
     return final, depth, normal, gap, status
+
+
+# Shapes GJK-kernel output layout: rows 0-23 = the standard _write_gjk_out
+# channels (incl. the closed-form rows 16-20); rows 24-39 / 40-55 = a copy
+# of the packed shape rows of A / B.  The EPA phase reads its geometry from
+# these rows of the (already permuted) gin block, so the inter-phase glue
+# is ONE gather instead of three (see _run_two_phase geom_in_rows).
+_SHAPE_OUT_ROWS = 56
 
 
 def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
@@ -1567,13 +1943,8 @@ def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
     out_ref[18:19, :] = cf_n.x.astype(f)
     out_ref[19:20, :] = cf_n.y.astype(f)
     out_ref[20:21, :] = cf_n.z.astype(f)
-    # row 21: smooth-pair tier flag — any non-box shape on either side
-    # means a curved contact whose EPA runs 30-40 iterations (80+ live
-    # faces); these lanes are grouped and dispatched to the F=88 branch of
-    # the dual-tier stage-1 kernel instead of overflowing F=48
-    k1, k2 = sa[0:1, :], sb[0:1, :]
-    box_box = (jnp.abs(k1 - 1.0) < 0.5) & (jnp.abs(k2 - 1.0) < 0.5)
-    out_ref[21:22, :] = jnp.where(box_box, 0.0, 1.0).astype(f)
+    out_ref[24:40, :] = sa[0:16, :]
+    out_ref[40:56, :] = sb[0:16, :]
 
 
 def _closed_form_shape_pairs(a, b, broadphase_tol):
@@ -1596,7 +1967,7 @@ def _closed_form_shape_pairs(a, b, broadphase_tol):
     fields only valid where `handled`.  Normal points A -> B (translating
     B by depth*normal separates the pair), matching the EPA convention.
     """
-    from ..models.shapes import BOX, CAPSULE, SPHERE
+    from ..models.shapes import BOX, CAPSULE, CYLINDER, SPHERE
 
     k1, k2 = a.kind, b.kind
     r1, r2 = a.params[:, 0], b.params[:, 0]
@@ -1605,7 +1976,11 @@ def _closed_form_shape_pairs(a, b, broadphase_tol):
     both_swept = is_ss1 & is_ss2
     sb = (k1 == SPHERE) & (k2 == BOX)
     bs = (k1 == BOX) & (k2 == SPHERE)
-    handled = both_swept | sb | bs
+    sc = (k1 == SPHERE) & (k2 == CYLINDER)
+    cs = (k1 == CYLINDER) & (k2 == SPHERE)
+    # NB: name must not collide with the swept-sphere section's `bb` dot
+    bbx = (k1 == BOX) & (k2 == BOX)
+    handled = both_swept | sb | bs | sc | cs | bbx
 
     # -- swept-sphere pair: segment-segment closest points -------------------
     L1 = jnp.where(k1 == CAPSULE, a.params[:, 1], 0.0)
@@ -1657,10 +2032,81 @@ def _closed_form_shape_pairs(a, b, broadphase_tol):
     d_bs, n_bs, gap_bs = sphere_vs_box(b.pos, r2, a.pos, a.rot, a.params)
     n_bs = -n_bs
 
+    # -- sphere-cylinder (either order): point vs solid cylinder -------------
+    def sphere_vs_cyl(c_sph, r_sph, p_cyl, rot_cyl, prm_cyl):
+        rc, hc = prm_cyl[:, 0], prm_cyl[:, 1]
+        dl = jnp.einsum("ikj,ik->ij", rot_cyl, c_sph - p_cyl)  # R^T (c - p)
+        rho = jnp.sqrt(dl[:, 0] ** 2 + dl[:, 1] ** 2)
+        inv_rho = 1.0 / jnp.maximum(rho, 1e-20)
+        # exactly 1.0 inside — see the kernel twin (_closed_form_rows)
+        scale = jnp.where(rho > rc, rc * inv_rho, 1.0)
+        q = jnp.stack([dl[:, 0] * scale, dl[:, 1] * scale,
+                       jnp.clip(dl[:, 2], -hc, hc)], axis=1)
+        delta = dl - q
+        d_out = jnp.linalg.norm(delta, axis=1)
+        outside = d_out > 1e-12
+        n_out = -delta / jnp.maximum(d_out, 1e-20)[:, None]
+        pen_lat = rc - rho
+        pen_cap = hc - jnp.abs(dl[:, 2])
+        use_lat = pen_lat <= pen_cap
+        lx = jnp.where(rho > 1e-12, dl[:, 0] * inv_rho, 1.0)
+        ly = jnp.where(rho > 1e-12, dl[:, 1] * inv_rho, 0.0)
+        sgz = jnp.where(dl[:, 2] >= 0.0, 1.0, -1.0)
+        n_in = jnp.stack([jnp.where(use_lat, -lx, 0.0),
+                          jnp.where(use_lat, -ly, 0.0),
+                          jnp.where(use_lat, 0.0, -sgz)], axis=1)
+        depth = jnp.where(outside, r_sph - d_out,
+                          r_sph + jnp.minimum(pen_lat, pen_cap))
+        n_l = jnp.where(outside[:, None], n_out, n_in)
+        n_w = jnp.einsum("ijk,ik->ij", rot_cyl, n_l)
+        return depth, n_w, jnp.maximum(d_out - r_sph, 0.0)
+
+    d_sc, n_sc, gap_sc = sphere_vs_cyl(a.pos, r1, b.pos, b.rot, b.params)
+    d_cs, n_cs, gap_cs = sphere_vs_cyl(b.pos, r2, a.pos, a.rot, a.params)
+    n_cs = -n_cs
+
+    # -- box-box: SAT minimum-translation over the 15 axes -------------------
+    def box_box_sat():
+        BIGF = jnp.float32(3.4e38)
+        t = b.pos - a.pos                              # (B, 3)
+        ax = [a.rot[:, :, j] for j in range(3)]        # world axis columns
+        bx = [b.rot[:, :, j] for j in range(3)]
+        axes = ax + bx + [jnp.cross(ax[i], bx[j])
+                          for i in range(3) for j in range(3)]
+        nB = t.shape[0]
+        best = jnp.full((nB,), BIGF)
+        bn = jnp.zeros((nB, 3), t.dtype)
+        sep = jnp.full((nB,), -BIGF)
+        for L in axes:
+            ln2 = jnp.einsum("ij,ij->i", L, L)
+            valid = ln2 > 1e-12
+            inv = 1.0 / jnp.sqrt(jnp.where(valid, ln2, 1.0))
+            s = jnp.einsum("ij,ij->i", t, L) * inv
+            ra = sum(a.params[:, i] * jnp.abs(jnp.einsum("ij,ij->i", ax[i], L))
+                     for i in range(3)) * inv
+            rb = sum(b.params[:, j] * jnp.abs(jnp.einsum("ij,ij->i", bx[j], L))
+                     for j in range(3)) * inv
+            ov = ra + rb - jnp.abs(s)
+            sep = jnp.maximum(sep, jnp.where(valid, -ov, -BIGF))
+            ovv = jnp.where(valid, ov, BIGF)
+            better = ovv < best
+            best = jnp.where(better, ovv, best)
+            sgn = jnp.where(s >= 0.0, 1.0, -1.0)
+            bn = jnp.where(better[:, None], L * (inv * sgn)[:, None], bn)
+        return best, bn, jnp.maximum(sep, 0.0)
+
+    d_bb, n_bb, gap_bb = box_box_sat()
+
     depth = jnp.where(both_swept, depth_ss, jnp.where(sb, d_sb, d_bs))
     normal = jnp.where(both_swept[:, None], n_ss,
                        jnp.where(sb[:, None], n_sb, n_bs))
     gap = jnp.where(both_swept, gap_ss, jnp.where(sb, gap_sb, gap_bs))
+    depth = jnp.where(sc, d_sc, jnp.where(cs, d_cs, depth))
+    normal = jnp.where(sc[:, None], n_sc, jnp.where(cs[:, None], n_cs, normal))
+    gap = jnp.where(sc, gap_sc, jnp.where(cs, gap_cs, gap))
+    depth = jnp.where(bbx, d_bb, depth)
+    normal = jnp.where(bbx[:, None], n_bb, normal)
+    gap = jnp.where(bbx, gap_bb, gap)
     hit = handled & (depth > 0.0)
     depth = jnp.where(hit, depth, 0.0)
     normal = jnp.where(hit[:, None], normal, 0.0)
@@ -1671,84 +2117,50 @@ def _closed_form_shape_pairs(a, b, broadphase_tol):
     return handled, hit, depth, normal, gap, status
 
 
-def _epa_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block):
-    support = _make_shape_support(sa_ref[:, :], sb_ref[:, :])
+def _epa_fast_kernel_shapes(gin_ref, out_ref, *, cfg, block,
+                            k_vis=8, polish=True, promote_capacity=False):
+    """Shapes EPA stage: capped fast EPA + closed-form direction polish.
+
+    Every analytic pair still reaching EPA has a curved side (all flat-flat
+    combinations — box-box included — are answered in closed form by the
+    GJK kernel), so the smooth-lane treatment applies to the WHOLE stage:
+    run the compact-visible EPA for at most cfg.epa_max_iters iterations
+    (the caller caps it at _SMOOTH_EPA_CAP — enough to localize the basin
+    of the true contact direction), then refine depth/normal with the
+    fixed-cost support-function descent (_polish_direction).  This removes
+    the 90-iteration cylinder-rim straggler tail entirely: worst-case EPA
+    cost per lane is bounded and uniform."""
+    support = _make_shape_support(gin_ref[24:40, :], gin_ref[40:56, :])
     active = gin_ref[0:1, :] > 0.5
     simplex = _read_simplex(gin_ref)
-    depth, normal, epa_iters, status = _epa_guard(
-        active, block,
-        lambda: _epa_phase(support, simplex, active, cfg, block))
+
+    def run():
+        depth, normal, epa_iters, status = _epa_phase_fast(
+            support, simplex, active, cfg, block, k_vis=k_vis)
+        if polish:
+            depth, normal, status = _polish_direction(
+                support, depth, normal, status, active, block,
+                promote_capacity=promote_capacity)
+        return depth, normal, epa_iters, status
+
+    depth, normal, epa_iters, status = _epa_guard(active, block, run)
     _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
 
 
-def _epa_fast_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block,
-                            k_vis=8):
-    support = _make_shape_support(sa_ref[:, :], sb_ref[:, :])
-    active = gin_ref[0:1, :] > 0.5
-    simplex = _read_simplex(gin_ref)
-    depth, normal, epa_iters, status = _epa_guard(
-        active, block,
-        lambda: _epa_phase_fast(support, simplex, active, cfg, block,
-                                k_vis=k_vis))
-    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
-
-
-def _epa_dual_kernel_shapes(sa_ref, sb_ref, gin_ref, out_ref, *, cfg, block,
-                            tiers):
-    """Stage-1 EPA with a per-BLOCK face-budget tier select.
-
-    The hit-sort groups smooth-pair lanes (gin row 21, set by the GJK
-    kernel) ahead of polytopal ones, so a block is (almost) homogeneous:
-    if any active lane in the block is smooth the whole block runs the
-    large tier (curved contacts run 30-40 iterations and need 80+ live
-    faces), otherwise the cheap tier.  One launch, no extra per-program
-    floor — the tier choice is a scalar cond, exactly like _epa_guard's
-    activity skip.  Lanes that still exhaust their tier's capacity exit
-    with HIT_EPA_CAPACITY and are re-run by the final worst-case stage."""
-    support = _make_shape_support(sa_ref[:, :], sb_ref[:, :])
-    active = gin_ref[0:1, :] > 0.5
-    smooth = gin_ref[21:22, :] > 0.5
-    simplex = _read_simplex(gin_ref)
-    (f_big, k_big), (f_small, k_small) = tiers
-    z1 = jnp.zeros((1, block), jnp.float32)
-    zi = jnp.zeros((1, block), jnp.int32)
-
-    def big(_):
-        return _epa_phase_fast(support, simplex, active,
-                               cfg.replace(epa_max_faces=f_big), block,
-                               k_vis=k_big)
-
-    def small(_):
-        return _epa_phase_fast(support, simplex, active,
-                               cfg.replace(epa_max_faces=f_small), block,
-                               k_vis=k_small)
-
-    def skip(_):
-        return z1, P3(z1, z1, z1), zi, zi
-
-    depth, normal, epa_iters, status = lax.cond(
-        jnp.any(active),
-        lambda _: lax.cond(jnp.any(active & smooth), big, small, None),
-        skip, None)
-    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
-
-
-def _pack_shapes(batch, nb, block, skip=None):
+def _pack_shapes(batch, nb, block):
     """ShapeBatch -> (nb, 24, block) f32 packed rows.
 
-    Rows 0-15: kind, params, pos, rot.  Row 16: closed-form-handled flag
-    (1.0 = the lane is answered exactly outside the kernel; the GJK kernel
-    retires it immediately).  Rows 17-23: zero padding (sublane alignment).
+    INPUT rows 0-15: kind, params, pos, rot; rows 16-23 zero padding
+    (sublane alignment).  Unrelated to the kernel OUTPUT row 16, which is
+    the closed-form "final" channel written by the GJK kernel.
     """
     bsz = batch.kind.shape[0]
     kind = batch.kind.astype(jnp.float32)[:, None]
     params = batch.params.astype(jnp.float32)
     pos = batch.pos.astype(jnp.float32)
     rot = batch.rot.astype(jnp.float32).reshape(-1, 9)
-    skip_col = (jnp.zeros((bsz, 1), jnp.float32) if skip is None
-                else jnp.where(skip, 1.0, 0.0)[:, None])
-    pad = jnp.zeros((bsz, 7), jnp.float32)
-    packed = jnp.concatenate([kind, params, pos, rot, skip_col, pad], axis=1)
+    pad = jnp.zeros((bsz, 8), jnp.float32)
+    packed = jnp.concatenate([kind, params, pos, rot, pad], axis=1)
     # one large 2-D transpose + leading-dim swap: the direct
     # (nb, block, 24) -> (nb, 24, block) form is a tiny-inner-dim 3-D
     # transpose, which XLA:TPU executes ~10x slower
@@ -1796,33 +2208,37 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
                            block=block)
 
     eb = min(block, 128)
-    epa_specs = (_vecspec(24, eb), _vecspec(24, eb))
 
-    # Shapes cascade: dual-tier stage 1 (per-block F=88 smooth / F=48
-    # polytopal, selected by the 3-group hit-sort + gin row 21) and a
-    # worst-case final stage for capacity leftovers.  The hull pipeline
-    # keeps the generic _cascade_plan ladder (no shape kinds to key on).
+    # Shapes cascade: two capped+polished fast stages.  Every EPA lane is a
+    # smooth pair now (flat-flat combinations are closed-form final), so
+    # stage 1 runs the compact-visible kernel with the _SMOOTH_EPA_CAP
+    # iteration budget + polish; F=48 covers the face growth of a capped
+    # run (4 + 2*cap <= 48) so the only capacity exit left is the K=8
+    # visible-set bound — stage 2 re-runs those lanes at K=16.  The
+    # 48/88/208 tier ladder of round 2 existed to contain the 90-iteration
+    # cylinder-rim tail; the cap+polish removes the tail at its source.
+    # The hull pipeline keeps the generic _cascade_plan ladder (polytopal
+    # path, bit-identical reference semantics — no polish).
     epa_kernels = []
     if cfg.epa_max_iters > 0:
         rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
-        full_f = rup(max(2 * cfg.epa_max_iters + 10, cfg.epa_max_faces))
-        tiers = ((min(88, full_f), 8), (min(48, full_f), 8))
+        cap = min(_SMOOTH_EPA_CAP, cfg.epa_max_iters)
+        stage_f = rup(max(2 * cap + 10, 48))
+        stage_cfg = cfg.replace(epa_max_iters=cap, epa_max_faces=stage_f)
 
-        def dual_wrap(sar, sbr, ginr, outr):
-            _epa_dual_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
-                                    outr.at[0], cfg=cfg, block=eb,
-                                    tiers=tiers)
+        def stage1_wrap(ginr, outr):
+            _epa_fast_kernel_shapes(ginr.at[0], outr.at[0], cfg=stage_cfg,
+                                    block=eb, k_vis=8)
 
-        def full_wrap(sar, sbr, ginr, outr):
-            _epa_fast_kernel_shapes(sar.at[0], sbr.at[0], ginr.at[0],
-                                    outr.at[0],
-                                    cfg=cfg.replace(epa_max_faces=full_f),
-                                    block=eb, k_vis=16)
+        def stage2_wrap(ginr, outr):
+            _epa_fast_kernel_shapes(ginr.at[0], outr.at[0], cfg=stage_cfg,
+                                    block=eb, k_vis=16,
+                                    promote_capacity=True)
 
-        epa_kernels = [dual_wrap, full_wrap]
+        epa_kernels = [stage1_wrap, stage2_wrap]
     res = _run_two_phase(gjk_wrap, epa_kernels, (sa, sb), specs, bsz, block,
                          interpret, sort_hits, epa_block=eb,
-                         epa_geom_specs=epa_specs, tier_row=21)
+                         out_rows=_SHAPE_OUT_ROWS, geom_in_rows=True)
     if bsz != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res

@@ -151,7 +151,7 @@ def test_kernel_closed_form_matches_xla_oracle(rng):
     import numpy as np
 
     from gjkepa_tpu.models.shapes import (boxes, capsules, concat_shapes,
-                                          spheres)
+                                          cylinders, spheres)
     from gjkepa_tpu.ops.fused import (_closed_form_shape_pairs,
                                       fused_gjkepa_shapes)
 
@@ -170,16 +170,23 @@ def test_kernel_closed_form_matches_xla_oracle(rng):
         rng.normal(size=(n, 3)).astype(np.float32) * 0.8)
     r = lambda: jnp.asarray(  # noqa: E731
         (0.3 + 0.4 * rng.random(n)).astype(np.float32))
+    hext = lambda: jnp.asarray(  # noqa: E731
+        0.2 + 0.4 * rng.random((n, 3)), jnp.float32)
     a = concat_shapes(
         spheres(r(), pos=pos()),
         capsules(r(), r(), pos=pos(), rot=rots(n)),
         spheres(r(), pos=pos()),
+        spheres(r(), pos=pos()),
+        cylinders(r(), r(), pos=pos(), rot=rots(n)),
+        boxes(hext(), pos=pos(), rot=rots(n)),
     )
     b = concat_shapes(
         capsules(r(), r(), pos=pos(), rot=rots(n)),
         capsules(r(), r(), pos=pos(), rot=rots(n)),
-        boxes(jnp.asarray(0.2 + 0.4 * rng.random((n, 3)), jnp.float32),
-              pos=pos(), rot=rots(n)),
+        boxes(hext(), pos=pos(), rot=rots(n)),
+        cylinders(r(), r(), pos=pos(), rot=rots(n)),
+        spheres(r(), pos=pos()),
+        boxes(hext(), pos=pos(), rot=rots(n)),
     )
     cfg = GJKEPAConfig.for_f32()
     res = fused_gjkepa_shapes(a, b, cfg=cfg, interpret=True)
@@ -189,7 +196,10 @@ def test_kernel_closed_form_matches_xla_oracle(rng):
     np.testing.assert_array_equal(np.asarray(res.hit), c_hit)
     np.testing.assert_array_equal(np.asarray(res.status), c_status)
     np.testing.assert_allclose(np.asarray(res.depth), c_depth, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(res.normal), c_normal, atol=2e-6)
+    # normals at 1e-5: the lane-rows kernel and the einsum XLA twin order
+    # f32 arithmetic differently; near-parallel capsule pairs amplify the
+    # segment-segment direction by ~1/sin(angle)
+    np.testing.assert_allclose(np.asarray(res.normal), c_normal, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(res.epa_iters), 0)
 
 

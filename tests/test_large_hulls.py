@@ -4,7 +4,7 @@ The reference takes arbitrary N1/N2 per call (`/root/reference/src/
 GCLIB_GJKEPA.f90:43-46`); its support scan is a sequential O(N) loop
 (:1040-1057).  The fused kernels hold both (3, N, block) hull buffers
 resident in VMEM, so large N must shrink the lane block instead of blowing
-VMEM: `_auto_block` caps block so the inputs fit a 4 MB budget
+VMEM: `_auto_block` caps block so the inputs fit a 6 MB budget
 (N=64 -> block 512 unchanged; N=1024 -> block 256).
 
 These tests pin (a) the auto-block policy, (b) fused-vs-XLA agreement at

@@ -219,9 +219,22 @@ def test_fuzz_mixed_kind_pairs_fused_vs_xla(rng):
         np.testing.assert_array_equal(
             hit_f, hit_x, err_msg=f"seed {seed}: hit verdicts diverge")
         both = hit_f & (np.asarray(rf.status) == 3) & (np.asarray(rx.status) == 3)
-        df, dx = np.asarray(rf.depth)[both], np.asarray(rx.depth)[both]
-        # smooth-shape EPA carries polyhedral error on BOTH paths; they
-        # must still agree to the f32 convergence budget
+        df, dx = np.asarray(rf.depth), np.asarray(rx.depth)
+        from gjkepa_tpu.ops.fused import _closed_form_shape_pairs
+        handled = np.asarray(_closed_form_shape_pairs(
+            a, b, cfg.broadphase_tol)[0])
+        # closed-form lanes: exact on the fused side, converged polytopal
+        # EPA on the XLA side — agree to the f32 convergence budget
+        m0 = both & handled
         np.testing.assert_allclose(
-            df, dx, atol=5e-5,
-            err_msg=f"seed {seed}: depth diverges on converged lanes")
+            df[m0], dx[m0], atol=5e-5,
+            err_msg=f"seed {seed}: depth diverges on closed-form lanes")
+        # remaining lanes (box-capsule / box-cyl / cap-cyl / cyl-cyl) run
+        # capped-EPA+polish on the fused side (pinned to sampled ground
+        # truth within 5e-4 by tests/test_closed_forms.py); the portable
+        # XLA EPA terminates on f32 duplicate supports with up to ~2e-3
+        # depth error on smooth surfaces — this bound is XLA's error
+        m1 = both & ~handled
+        np.testing.assert_allclose(
+            df[m1], dx[m1], atol=5e-3,
+            err_msg=f"seed {seed}: depth diverges on polished EPA lanes")
