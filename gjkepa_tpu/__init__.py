@@ -21,15 +21,19 @@ Public surface:
 
 from .api import collide_shapes_batch, collide_supports, gjkepa, gjkepa_batch
 from .config import DEFAULT_CONFIG, GJKEPAConfig
+from .ops.manifold import ManifoldResult, manifold_batch, manifold_shapes_batch
 from .types import CollisionResult, Status
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "gjkepa",
     "gjkepa_batch",
     "collide_supports",
     "collide_shapes_batch",
+    "manifold_batch",
+    "manifold_shapes_batch",
+    "ManifoldResult",
     "GJKEPAConfig",
     "DEFAULT_CONFIG",
     "CollisionResult",
