@@ -53,16 +53,29 @@ class GJKEPAConfig:
         return dataclasses.replace(self, **kw)
 
     @staticmethod
-    def for_f32() -> "GJKEPAConfig":
+    def for_f32(scale: float = 1.0) -> "GJKEPAConfig":
         """Tolerance ladder rescaled for float32 perf mode.
 
         float32 has ~1e-7 relative resolution; the reference's 1e-8/1e-12
         absolute ladder would never trigger, so degenerate-path detection
         needs looser thresholds.  Caps are unchanged.
+
+        The ladder is ABSOLUTE, so it assumes scene coordinates of order 1:
+        the default supports coordinate magnitudes up to ~100 (f32 rounding
+        noise ~1e-7*|x| must stay well under eps_coincide=1e-5, and depth
+        carries ~1e-7*|x| cancellation error).  For larger scenes pass the
+        characteristic ``scale`` (e.g. 10 for coordinates up to ~1000):
+        length-like tolerances scale linearly, the degenerate-normal guard
+        eps_zero quadratically (it tests cross products ~ length^2).
+        ``gjkepa_tpu.debug.checked_gjkepa_batch`` enforces the supported
+        range at runtime.  Tested by tests/test_f32_scale.py.
         """
         # caps are multiples of 8 so the fused Pallas kernel's (F, BLOCK)
         # and (3F, BLOCK) buffers stay sublane-aligned (Mosaic requirement)
-        return GJKEPAConfig(eps_coincide=1e-5, eps_zero=1e-8,
+        return GJKEPAConfig(eps_coincide=1e-5 * scale,
+                            eps_zero=1e-8 * scale * scale,
+                            support_set_tol=0.1 * scale,
+                            broadphase_tol=1.0 * scale,
                             epa_max_verts=40, epa_max_faces=80)
 
 

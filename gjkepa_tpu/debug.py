@@ -47,10 +47,23 @@ def _checked_jit(p1, p2, cfg):
     res = gjkepa_batch(p1, p2, cfg=cfg)
     fin = lambda x: jnp.all(jnp.isfinite(x), axis=tuple(range(1, x.ndim)))
     nrm2 = jnp.sum(res.normal * res.normal, axis=-1)
+    # supported coordinate range of an f32 tolerance ladder: rounding noise
+    # (~1e-7 * |x|) must stay well below eps_coincide; the config's scale
+    # is eps_coincide / 1e-5 (see GJKEPAConfig.for_f32)
+    if p1.dtype == jnp.float32:
+        limit = 200.0 * (cfg.eps_coincide / 1e-5)
+        in_range = (jnp.max(jnp.abs(p1), axis=(1, 2)) <= limit) \
+            & (jnp.max(jnp.abs(p2), axis=(1, 2)) <= limit)
+    else:
+        in_range = jnp.ones((p1.shape[0],), bool)
     checks = {
         # precondition: a NaN/Inf vertex would otherwise poison its lane
         # silently in f32 production mode (argmax may even mask it away)
         "non-finite input vertex (NaN/Inf in p1 or p2)": fin(p1) & fin(p2),
+        # precondition: coordinates beyond the f32 ladder's supported range
+        # (pass GJKEPAConfig.for_f32(scale=...) for large scenes)
+        "f32 coordinates exceed the tolerance ladder's supported range":
+            in_range,
         # postconditions: the output contract of ref :65-71 (outputs zeroed
         # unless filled with converged values)
         "non-finite depth": fin(res.depth),
