@@ -152,45 +152,68 @@ def main():
     log(f"config1 single-pair latency: {t*1e6:.1f} us pipelined, "
         f"{t_sync*1e6:.1f} us incl. host sync (depth={float(r.depth):.6f})")
 
-    # ---- config 2: 4k x 64-vertex hull pairs, boolean + distance ----------
-    B2, N2 = 4096, 64
-    p1 = jnp.asarray(random_hulls(rng, B2, N2))
-    p2 = jnp.asarray(random_hulls(rng, B2, N2))
-    gjk_cfg = cfg.replace(epa_max_iters=0)  # boolean-only: one GJK kernel
-    t_bool = timeit(lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=512),
-                    lambda r: r.gjk_iters.astype(jnp.float32))
+    # ---- config 2: hull pairs, boolean + distance --------------------------
+    # 4k batch (dispatch-sensitive, kept for round-over-round comparability)
+    # and 64k batch (dispatch amortized — the auditable throughput numbers,
+    # VERDICT round-2 item 2).
     from gjkepa_tpu.ops.fused import fused_gjk_distance_hulls
-    t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg, block=512),
-                    lambda r: r.distance)
-    maybe_profile("c2_bool", lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=512),
-                  lambda r: r.gjk_iters.astype(jnp.float32))
-    results["c2_hull4k_bool_qps"] = B2 / t_bool
-    results["c2_hull4k_dist_qps"] = B2 / t_dist
-    log(f"config2 4k x 64-vert hulls: bool {B2/t_bool/1e6:.2f}M q/s, "
-        f"distance {B2/t_dist/1e6:.2f}M q/s")
+    gjk_cfg = cfg.replace(epa_max_iters=0)  # boolean-only: one GJK kernel
+    for tag, B2 in (("hull4k", 4096), ("hull64k", 65536)):
+        N2 = 64
+        p1 = jnp.asarray(random_hulls(rng, B2, N2))
+        p2 = jnp.asarray(random_hulls(rng, B2, N2))
+        t_bool = timeit(lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg, block=512),
+                        lambda r: r.gjk_iters.astype(jnp.float32))
+        t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg, block=512),
+                        lambda r: r.distance)
+        if tag == "hull64k":
+            maybe_profile("c2_bool", lambda: fused_gjkepa_hulls(
+                p1, p2, cfg=gjk_cfg, block=512),
+                lambda r: r.gjk_iters.astype(jnp.float32))
+        results[f"c2_{tag}_bool_qps"] = B2 / t_bool
+        results[f"c2_{tag}_dist_qps"] = B2 / t_dist
+        log(f"config2 {tag} x 64-vert hulls: bool {B2/t_bool/1e6:.2f}M q/s, "
+            f"distance {B2/t_dist/1e6:.2f}M q/s")
 
     # ---- config 3: 64k mixed analytic pairs (HEADLINE) ---------------------
+    # Median over 3 seeds: the round-2 headline swung +-65% with the seed
+    # (cylinder-rim EPA tail); the median is the comparable number
+    # (VERDICT round-2 item 2).  Same shapes/sizes per seed => one program.
     B3 = 65536
     q = B3 // 4
-    pos = lambda: rng.normal(size=(q, 3)).astype(np.float32) * 1.2  # noqa: E731
-    mk = lambda: concat_shapes(  # noqa: E731
-        spheres(0.4 + 0.4 * rng.random(q).astype(np.float32), pos=pos()),
-        boxes(0.3 + 0.4 * rng.random((q, 3)).astype(np.float32), pos=pos()),
-        capsules(0.2 + 0.2 * rng.random(q).astype(np.float32),
-                 0.3 + 0.3 * rng.random(q).astype(np.float32), pos=pos()),
-        cylinders(0.2 + 0.3 * rng.random(q).astype(np.float32),
-                  0.3 + 0.3 * rng.random(q).astype(np.float32), pos=pos()),
-    )
-    a, b = mk(), mk()
-    t3 = timeit(lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=512),
-                lambda r: r.depth)
-    maybe_profile("c3_analytic64k", lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=512),
-                  lambda r: r.depth)
-    r3 = fused_gjkepa_shapes(a, b, cfg=cfg, block=512)
-    hits = int(jnp.sum(r3.hit))
-    results["c3_analytic64k_qps"] = B3 / t3
-    log(f"config3 64k mixed analytic: {B3/t3/1e6:.2f}M q/s ({hits} hits, "
-        f"full GJK+EPA+sort pipeline)")
+
+    def mk3(seed_rng):
+        pos = lambda: seed_rng.normal(size=(q, 3)).astype(np.float32) * 1.2  # noqa: E731
+        return concat_shapes(
+            spheres(0.4 + 0.4 * seed_rng.random(q).astype(np.float32), pos=pos()),
+            boxes(0.3 + 0.4 * seed_rng.random((q, 3)).astype(np.float32), pos=pos()),
+            capsules(0.2 + 0.2 * seed_rng.random(q).astype(np.float32),
+                     0.3 + 0.3 * seed_rng.random(q).astype(np.float32), pos=pos()),
+            cylinders(0.2 + 0.3 * seed_rng.random(q).astype(np.float32),
+                      0.3 + 0.3 * seed_rng.random(q).astype(np.float32), pos=pos()),
+        )
+
+    c3_qps = []
+    for seed in (0, 1, 2):
+        srng = np.random.default_rng(seed)
+        a, b = mk3(srng), mk3(srng)
+        t3 = timeit(lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=512),
+                    lambda r: r.depth)
+        r3 = fused_gjkepa_shapes(a, b, cfg=cfg, block=512)
+        hits = int(jnp.sum(r3.hit))
+        max_epa = int(jnp.max(r3.epa_iters))
+        c3_qps.append(B3 / t3)
+        results[f"c3_seed{seed}_qps"] = B3 / t3
+        log(f"config3 64k mixed analytic seed {seed}: {B3/t3/1e6:.2f}M q/s "
+            f"({hits} hits, max EPA iters {max_epa})")
+        if seed == 0:
+            maybe_profile("c3_analytic64k",
+                          lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=512),
+                          lambda r: r.depth)
+    results["c3_analytic64k_qps"] = float(np.median(c3_qps))
+    results["c3_seed_spread"] = (max(c3_qps) - min(c3_qps)) / max(c3_qps)
+    log(f"config3 64k mixed analytic: median {np.median(c3_qps)/1e6:.2f}M q/s "
+        f"(spread {100*results['c3_seed_spread']:.0f}%)")
 
     # ---- config 4: 16k deep-penetration pairs, full EPA --------------------
     B4, N4 = 16384, 24
