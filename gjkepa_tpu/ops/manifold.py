@@ -50,15 +50,19 @@ class ManifoldResult(NamedTuple):
 
 
 def _first_k(sel, pts, k):
-    """Compact the selected rows of pts (N,3) into k slots (rank order)."""
-    seli = sel.astype(jnp.int32)
-    cum = jnp.cumsum(seli)
+    """Compact the selected rows of pts (N,3) into k slots (rank order).
+
+    Gather-free: slot k's source is the unique row with sel & cum==k+1,
+    extracted by a one-hot sum.  Dynamic per-pair gathers lower to
+    serialized DMAs on TPU (milliseconds per batched gather — the same
+    trap the sim solver avoids with one-hot MXU contractions); every
+    index select in this module is a one-hot contraction instead."""
+    cum = jnp.cumsum(sel.astype(jnp.int32))
     n_sel = cum[-1]
     out = []
     for slot in range(k):
-        src = jnp.sum((cum < slot + 1).astype(jnp.int32))
-        src = jnp.minimum(src, pts.shape[0] - 1)
-        out.append(pts[src])
+        oh = sel & (cum == slot + 1)
+        out.append(jnp.sum(jnp.where(oh[:, None], pts, 0.0), axis=0))
     valid = jnp.arange(k) < n_sel
     return jnp.stack(out), valid
 
@@ -131,43 +135,70 @@ def _shape_support_polygon(kind, params, pos, rot, n, tol, k=_POLY_CAP):
     return world, valid
 
 
-def _ccw_order(p2, valid):
-    """Permutation putting the valid 2-D points in CCW order around their
-    centroid, invalid slots last (polygon clipping needs ordered verts)."""
+def _ccw_sort_apply(p2, valid, *extras):
+    """Reorder the valid 2-D points CCW around their centroid (invalid
+    slots last), applying the same permutation to `extras` — gather-free:
+    per-element rank by pairwise angle compares, then a (K, K) one-hot
+    contraction places each element (K <= 8; 64 compares beat one batched
+    gather by orders of magnitude on TPU)."""
+    k = p2.shape[0]
     cnt = jnp.maximum(jnp.sum(valid), 1)
     c = jnp.sum(jnp.where(valid[:, None], p2, 0.0), axis=0) / cnt
     ang = jnp.arctan2(p2[:, 1] - c[1], p2[:, 0] - c[0])
-    ang = jnp.where(valid, ang, jnp.inf)        # invalid slots sort last
-    return jnp.argsort(ang)
+    big = jnp.float32(3.0e38)
+    ang = jnp.where(valid, ang, big)            # invalid slots sort last
+    iota = jnp.arange(k)
+    less = (ang[None, :] < ang[:, None]) | (
+        (ang[None, :] == ang[:, None]) & (iota[None, :] < iota[:, None]))
+    rank = jnp.sum(less.astype(jnp.int32), axis=1)          # (K,)
+    oh = (rank[:, None] == iota[None, :]).astype(p2.dtype)  # src -> dest
+    out_p2 = jnp.einsum("sd,sx->dx", oh, p2)
+    out_valid = jnp.einsum("sd,s->d", oh, valid.astype(p2.dtype)) > 0.5
+    outs = []
+    for e in extras:
+        if e.ndim == 1:
+            outs.append(jnp.einsum("sd,s->d", oh, e))
+        else:
+            outs.append(jnp.einsum("sd,sx->dx", oh, e))
+    return (out_p2, out_valid, *outs)
 
 
-def _clip_polygon(ref2, ref_valid, inc2, inc_z, inc_valid):
+def _clip_polygon(ref2, ref_valid, inc2, inc_z, inc_valid, cap=_CLIP_CAP):
     """Masked Sutherland-Hodgman: clip (inc2, inc_z) by convex CCW ref2.
 
-    Returns (pts2 (_CLIP_CAP,2), z (_CLIP_CAP,), valid).  z interpolates
-    linearly at edge crossings (it is an affine field over the incident
-    polygon's plane)."""
-    cap = _CLIP_CAP
+    Returns (pts2 (cap,2), z (cap,), valid); cap must be >= |inc| + |ref|
+    (a convex clip adds at most one vertex per clipping edge).  z
+    interpolates linearly at edge crossings (it is an affine field over
+    the incident polygon's plane)."""
     n_ref = jnp.sum(ref_valid.astype(jnp.int32))
 
     pts = jnp.zeros((cap, 2), inc2.dtype).at[:inc2.shape[0]].set(inc2)
     z = jnp.zeros((cap,), inc_z.dtype).at[:inc_z.shape[0]].set(inc_z)
     valid = jnp.zeros((cap,), bool).at[:inc_valid.shape[0]].set(inc_valid)
 
-    def clip_edge(carry, e):
+    ref_iota = jnp.arange(ref2.shape[0])
+
+    def clip_edge(carry, e):  # e: traced int32 scalar
         pts, z, valid = carry
         cnt = jnp.sum(valid.astype(jnp.int32))
-        a = ref2[jnp.minimum(e, n_ref - 1)]
-        b = ref2[jnp.where(e + 1 >= n_ref, 0, e + 1)]
+        # edge endpoints by one-hot sums (dynamic index -> batched gather
+        # -> serialized DMA on TPU; see _first_k)
+        oh_a = (ref_iota == jnp.minimum(e, n_ref - 1)).astype(ref2.dtype)
+        oh_b = (ref_iota == jnp.where(e + 1 >= n_ref, 0, e + 1)).astype(ref2.dtype)
+        a = oh_a @ ref2
+        b = oh_b @ ref2
         edge_on = e < n_ref
         eab = b - a
 
         def inside(p):
             return eab[0] * (p[:, 1] - a[1]) - eab[1] * (p[:, 0] - a[0]) >= 0.0
 
-        nxt = jnp.where(jnp.arange(cap) + 1 >= cnt, 0, jnp.arange(cap) + 1)
+        iota_c = jnp.arange(cap)
         p_cur, z_cur = pts, z
-        p_nxt, z_nxt = pts[nxt], z[nxt]
+        # next-in-polygon: roll by one, wrapping slot cnt-1 back to slot 0
+        wrap = (iota_c == cnt - 1)
+        p_nxt = jnp.where(wrap[:, None], pts[0:1], jnp.roll(pts, -1, axis=0))
+        z_nxt = jnp.where(wrap, z[0], jnp.roll(z, -1))
         in_cur = inside(p_cur)
         in_nxt = inside(p_nxt)
         live = jnp.arange(cap) < cnt
@@ -204,40 +235,50 @@ def _clip_polygon(ref2, ref_valid, inc2, inc_z, inc_valid):
         valid = jnp.where(edge_on, new_valid, valid)
         return (pts, z, valid), None
 
+    # lax.scan over the reference edges: measured FASTER than a static
+    # unroll on TPU (3.1 vs 4.1 ms at 8k pairs — the unrolled HLO defeats
+    # XLA's fusion of the per-edge passes)
     (pts, z, valid), _ = jax.lax.scan(clip_edge, (pts, z, valid),
-                                      jnp.arange(_POLY_CAP))
+                                      jnp.arange(ref2.shape[0]))
     return pts, z, valid
 
 
 def _reduce4(p2, depths, valid):
-    """Standard 4-point manifold reduction: deepest, farthest, 2x max-area."""
+    """Standard 4-point manifold reduction: deepest, farthest, 2x max-area.
+
+    Returns a (4, K) one-hot selection matrix (matmul-extractable — no
+    dynamic gathers, see _first_k) + the kept mask."""
     big_neg = -jnp.inf
+    kk = p2.shape[0]
     score0 = jnp.where(valid, depths, big_neg)
     k0 = jnp.argmax(score0)
-    taken = jax.nn.one_hot(k0, p2.shape[0], dtype=bool)
+    oh0 = jax.nn.one_hot(k0, kk, dtype=p2.dtype)
+    pt0 = oh0 @ p2
+    taken = oh0 > 0.5
 
-    d1 = jnp.linalg.norm(p2 - p2[k0], axis=1)
+    d1 = jnp.linalg.norm(p2 - pt0, axis=1)
     k1 = jnp.argmax(jnp.where(valid & ~taken, d1, big_neg))
-    taken = taken | jax.nn.one_hot(k1, p2.shape[0], dtype=bool)
+    oh1 = jax.nn.one_hot(k1, kk, dtype=p2.dtype)
+    pt1 = oh1 @ p2
+    taken = taken | (oh1 > 0.5)
 
-    e01 = p2[k1] - p2[k0]
-
-    def tri_area(p):
-        v = p - p2[k0]
-        return e01[0] * v[:, 1] - e01[1] * v[:, 0]
-
-    ar = tri_area(p2)
+    e01 = pt1 - pt0
+    v = p2 - pt0
+    ar = e01[0] * v[:, 1] - e01[1] * v[:, 0]
     k2 = jnp.argmax(jnp.where(valid & ~taken, ar, big_neg))
-    taken = taken | jax.nn.one_hot(k2, p2.shape[0], dtype=bool)
+    oh2 = jax.nn.one_hot(k2, kk, dtype=p2.dtype)
+    taken = taken | (oh2 > 0.5)
     k3 = jnp.argmax(jnp.where(valid & ~taken, -ar, big_neg))
+    oh3 = jax.nn.one_hot(k3, kk, dtype=p2.dtype)
 
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    ks = jnp.stack([k0, k1, k2, k3])
+    sel = jnp.stack([oh0, oh1, oh2, oh3])                  # (4, K)
     keep = jnp.arange(4) < jnp.minimum(n_valid, 4)
-    return ks, keep
+    return sel, keep
 
 
-def _manifold_one(pa, va, pb, vb, n, depth, fallback_pt, tol_inside):
+def _manifold_one(pa, va, pb, vb, n, depth, fallback_pt, tol_inside,
+                  clip_cap=_CLIP_CAP):
     """Manifold of one pair from support polygons pa/pb (world, masked)."""
     dtype = pa.dtype
     # tangent frame
@@ -267,22 +308,22 @@ def _manifold_one(pa, va, pb, vb, n, depth, fallback_pt, tol_inside):
                       jnp.max(jnp.where(va, az, -jnp.inf)),
                       jnp.min(jnp.where(vb, bz, jnp.inf)))
 
-    ro = _ccw_order(ref2, refv)
-    ref2s, refvs = ref2[ro], refv[ro]
-    io = _ccw_order(inc2, incv)
-    cp2, cz, cvalid = _clip_polygon(ref2s, refvs, inc2[io], incz[io], incv[io])
+    ref2s, refvs = _ccw_sort_apply(ref2, refv)
+    inc2s, incvs, inczs = _ccw_sort_apply(inc2, incv, incz)
+    cp2, cz, cvalid = _clip_polygon(ref2s, refvs, inc2s, inczs, incvs,
+                                    cap=clip_cap)
 
     # per-point depth: incident height vs reference plane along n
     pdepth = jnp.where(ref_is_a, ref_z - cz, cz - ref_z)
     cvalid = cvalid & (pdepth > -tol_inside)
     pdepth = jnp.maximum(pdepth, 0.0)
 
-    ks, keep = _reduce4(cp2, pdepth, cvalid)
-    pts2 = cp2[ks]
-    zs = cz[ks]
+    sel, keep = _reduce4(cp2, pdepth, cvalid)
+    pts2 = sel @ cp2                                       # (4, 2)
+    zs = sel @ cz
     points = pts2[:, 0:1] * u[None, :] + pts2[:, 1:2] * v[None, :] \
         + zs[:, None] * n[None, :]
-    depths = pdepth[ks]
+    depths = sel @ pdepth
 
     # fallbacks: reference not a face (< 3 verts) or clip emptied out
     degenerate = (jnp.maximum(n_a, n_b) < 3) | ~jnp.any(cvalid)
@@ -297,7 +338,8 @@ def _manifold_one(pa, va, pb, vb, n, depth, fallback_pt, tol_inside):
 def manifold_batch(p1, p2, normal, depth, hit, contact_point,
                    mask1=None, mask2=None,
                    cfg: GJKEPAConfig | None = None,
-                   tol: float | None = None) -> ManifoldResult:
+                   tol: float | None = None,
+                   poly_cap: int = _POLY_CAP) -> ManifoldResult:
     """Up-to-4-point contact manifolds for hull pairs.
 
     Args:
@@ -306,15 +348,18 @@ def manifold_batch(p1, p2, normal, depth, hit, contact_point,
         (``gjkepa_batch`` / ``gjkepa_batch_fused``) — normal points A -> B.
       tol: support-set clustering tolerance (default:
         ``cfg.support_set_tol``, the reference's 0.1 rule, ref :471-529).
+      poly_cap: support-polygon capacity per side (cost scales ~cap^2;
+        pass 4 when faces are known quads, e.g. boxes).
     """
     cfg = cfg or GJKEPAConfig.for_f32()
     tol = cfg.support_set_tol if tol is None else tol
 
     def one(pa, pb, ma, mb, n, d, h, cpt):
-        sa, va = _hull_support_polygon(pa, ma, n, tol)
-        sb, vb = _hull_support_polygon(pb, mb, -n, tol)
+        sa, va = _hull_support_polygon(pa, ma, n, tol, k=poly_cap)
+        sb, vb = _hull_support_polygon(pb, mb, -n, tol, k=poly_cap)
         pts, dps, keep = _manifold_one(sa, va, sb, vb, n, d, cpt,
-                                       tol_inside=tol)
+                                       tol_inside=tol,
+                                       clip_cap=2 * poly_cap)
         keep = keep & h
         return pts, dps, keep
 
@@ -327,17 +372,21 @@ def manifold_batch(p1, p2, normal, depth, hit, contact_point,
 
 def manifold_shapes_batch(a, b, normal, depth, hit, contact_point,
                           cfg: GJKEPAConfig | None = None,
-                          tol: float | None = None) -> ManifoldResult:
+                          tol: float | None = None,
+                          poly_cap: int = _POLY_CAP) -> ManifoldResult:
     """Up-to-4-point contact manifolds for analytic shape pairs
-    (:class:`gjkepa_tpu.models.ShapeBatch`)."""
+    (:class:`gjkepa_tpu.models.ShapeBatch`).  `poly_cap` as in
+    :func:`manifold_batch` (cylinder cap discs want the full 8; box-only
+    workloads can pass 4 — 4x less clip work)."""
     cfg = cfg or GJKEPAConfig.for_f32()
     tol = cfg.support_set_tol if tol is None else tol
 
     def one(ka, pma, xa, ra, kb, pmb, xb, rb, n, d, h, cpt):
-        sa, va = _shape_support_polygon(ka, pma, xa, ra, n, tol)
-        sb, vb = _shape_support_polygon(kb, pmb, xb, rb, -n, tol)
+        sa, va = _shape_support_polygon(ka, pma, xa, ra, n, tol, k=poly_cap)
+        sb, vb = _shape_support_polygon(kb, pmb, xb, rb, -n, tol, k=poly_cap)
         pts, dps, keep = _manifold_one(sa, va, sb, vb, n, d, cpt,
-                                       tol_inside=tol)
+                                       tol_inside=tol,
+                                       clip_cap=2 * poly_cap)
         keep = keep & h
         return pts, dps, keep
 

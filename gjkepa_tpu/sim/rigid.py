@@ -202,19 +202,43 @@ def sim_step(state: SimState, scfg: SimConfig = SimConfig(),
     hit, depth, normal, point = _pair_contacts(state, rot, pairs, valid, cfg)
     contact = hit & valid
     # up-to-4-point manifolds via the PUBLIC query-surface op (VERDICT
-    # round-2 item 4) — the sim is just another consumer of the library
+    # round-2 item 4) — the sim is just another consumer of the library.
+    # Hit-compacted: the manifold op runs only on the first K contact rows
+    # (cumsum-rank permutation, same trick as the fused two-phase driver);
+    # contacts beyond K keep the single narrow-phase contact point (the
+    # reference's own output) and the overflow is reported in diagnostics.
     from ..ops.manifold import manifold_shapes_batch
     from ..models.shapes import ShapeBatch
 
-    i_idx0, j_idx0 = pairs[:, 0], pairs[:, 1]
-    kinds = jnp.full((pairs.shape[0],), BOX, jnp.int32)
-    sa = ShapeBatch(kind=kinds, params=state.half[i_idx0],
-                    pos=state.pos[i_idx0], rot=rot[i_idx0])
-    sb = ShapeBatch(kind=kinds, params=state.half[j_idx0],
-                    pos=state.pos[j_idx0], rot=rot[j_idx0])
-    mf = manifold_shapes_batch(sa, sb, normal, depth, contact, point, cfg=cfg)
-    mpoints, mdepths, mmask = mf.points, mf.depths, mf.mask
+    n_pairs = pairs.shape[0]
+    k_man = min(n_pairs, max(scfg.max_pairs // 4, 128))
+    hit_i = contact.astype(jnp.int32)
+    n_hit = jnp.sum(hit_i)
+    dest = jnp.where(contact, jnp.cumsum(hit_i) - 1,
+                     n_hit + jnp.cumsum(1 - hit_i) - 1)
+    order = jnp.zeros((n_pairs,), jnp.int32).at[dest].set(
+        jnp.arange(n_pairs, dtype=jnp.int32), unique_indices=True)
+    take = order[:k_man]
+    i_c, j_c = pairs[take, 0], pairs[take, 1]
+    kinds = jnp.full((k_man,), BOX, jnp.int32)
+    sa = ShapeBatch(kind=kinds, params=state.half[i_c],
+                    pos=state.pos[i_c], rot=rot[i_c])
+    sb = ShapeBatch(kind=kinds, params=state.half[j_c],
+                    pos=state.pos[j_c], rot=rot[j_c])
+    mf = manifold_shapes_batch(sa, sb, normal[take], depth[take],
+                               contact[take], point[take],
+                               cfg=cfg, poly_cap=4)  # box faces are quads
+    # scatter back; beyond-K contacts fall back to the single contact point
+    dc = jnp.minimum(dest, k_man - 1)
+    in_k = contact & (dest < k_man)
+    mpoints = jnp.where(in_k[:, None, None], mf.points[dc],
+                        point[:, None, :])
+    mdepths = jnp.where(in_k[:, None], mf.depths[dc],
+                        depth[:, None] * (jnp.arange(4) == 0))
+    single = (jnp.arange(4) == 0)[None, :] & contact[:, None]
+    mmask = jnp.where(in_k[:, None], mf.mask[dc], single)
     mmask = mmask & valid[:, None]
+    manifold_overflow = n_hit > k_man
 
     # ---- ground contacts: deepest corner of each box ---------------------
     corners = jnp.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
@@ -377,6 +401,7 @@ def sim_step(state: SimState, scfg: SimConfig = SimConfig(),
     diag = {
         "n_candidates": n_cand,
         "candidate_overflow": bp_overflow,
+        "manifold_overflow": manifold_overflow,
         "n_contacts": jnp.sum(contact.astype(jnp.int32)),
         "n_ground": jnp.sum(g_hit.astype(jnp.int32)),
         "max_depth": jnp.max(jnp.where(contact, depth, 0.0)),
