@@ -215,6 +215,20 @@ def main():
     log(f"config3 64k mixed analytic: median {np.median(c3_qps)/1e6:.2f}M q/s "
         f"(spread {100*results['c3_seed_spread']:.0f}%)")
 
+    # order-independence check: same pairs, caller-shuffled (the GJK-lane
+    # grouping must make throughput independent of input pair order)
+    srng = np.random.default_rng(0)
+    a, b = mk3(srng), mk3(srng)
+    perm = srng.permutation(B3)
+    b = type(b)(kind=b.kind[perm], params=b.params[perm],
+                pos=b.pos[perm], rot=b.rot[perm])
+    a = type(a)(kind=a.kind[perm], params=a.params[perm],
+                pos=a.pos[perm], rot=a.rot[perm])
+    t3s = timeit(lambda: fused_gjkepa_shapes(a, b, cfg=cfg, block=512),
+                 lambda r: r.depth)
+    results["c3_shuffled_qps"] = B3 / t3s
+    log(f"config3 64k shuffled order: {B3/t3s/1e6:.2f}M q/s")
+
     # ---- config 4: 16k deep-penetration pairs, full EPA --------------------
     B4, N4 = 16384, 24
     big = random_hulls(rng, B4, N4, spread=0.0) * 2.0

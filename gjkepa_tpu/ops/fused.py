@@ -47,7 +47,7 @@ __all__ = ["fused_gjkepa_hulls", "fused_gjkepa_shapes",
 _RUNNING = -1
 
 # Iteration budget for the capped-EPA + polish treatment of smooth analytic
-# pairs (see _epa_fast_kernel_shapes): enough expansions to localize the
+# pairs (see _epa_cascade_kernel_shapes): enough expansions to localize the
 # contact-direction basin; the fixed-cost _polish_direction descent then
 # refines depth/normal beyond what converged f32 EPA achieves.
 _SMOOTH_EPA_CAP = 16
@@ -435,215 +435,14 @@ def _gjk_phase(support, active, table_xyz, cfg: GJKEPAConfig, block):
     return out["s"], status, out["it"], sep
 
 
-def _epa_phase(support, simplex, active, cfg: GJKEPAConfig, block):
-    """Incremental capped-face EPA on (F, BLOCK) state (see ops/epa.py)."""
-    eps = cfg.eps_coincide
-    epz = cfg.eps_zero
-    V = cfg.epa_max_verts
-    F = cfg.epa_max_faces
-    E = 3 * F
-
-    v_iota = lax.broadcasted_iota(jnp.int32, (V, block), 0)
-    f_iota = lax.broadcasted_iota(jnp.int32, (F, block), 0)
-
-    def seed_coord(get):
-        arr = jnp.zeros((V, block), jnp.float32)
-        for i in range(4):
-            arr = jnp.where(v_iota == i, get(simplex[i]), arr)
-        return arr
-
-    vx0 = seed_coord(lambda p: p.x)
-    vy0 = seed_coord(lambda p: p.y)
-    vz0 = seed_coord(lambda p: p.z)
-
-    seed_faces = ((0, 1, 2), (0, 2, 3), (0, 1, 3), (1, 2, 3))  # ref :279-293
-    fi = []
-    for slot in range(3):
-        arr = jnp.zeros((F, block), jnp.int32)
-        for i in range(4):
-            arr = jnp.where(f_iota == i, jnp.int32(seed_faces[i][slot]), arr)
-        fi.append(arr)
-    alive0 = jnp.where(f_iota < 4, jnp.int32(1), jnp.int32(0))
-
-    def vert_coord(idx, coord):
-        """coord lookup: (F, BLOCK) indices into (V, BLOCK) table (one-hot,
-        chunked over V to bound the (ch, F, BLOCK) intermediate)."""
-        out = jnp.zeros((F, block), jnp.float32)
-        ch = 8
-        for j0 in range(0, V, ch):
-            j1 = min(j0 + ch, V)
-            ji = lax.broadcasted_iota(jnp.int32, (j1 - j0, 1, 1), 0) + j0
-            oh = idx[None, :, :] == ji                   # (ch, F, BLOCK)
-            cblk = jnp.expand_dims(lax.slice_in_dim(coord, j0, j1, axis=0), 1)
-            out = out + jnp.sum(jnp.where(oh, cblk, 0.0), axis=0)
-        return out
-
-    def cond(c):
-        run = (c["done"] == 0) & (c["it"] < cfg.epa_max_iters)
-        return jnp.sum(jnp.where(run, jnp.int32(1), jnp.int32(0))) > 0
-
-    def body(c):
-        run = (c["done"] == 0) & (c["it"] < cfg.epa_max_iters)   # (1, BLOCK)
-        vx, vy, vz, nv = c["vx"], c["vy"], c["vz"], c["nv"]
-        f0, f1, f2 = c["f0"], c["f1"], c["f2"]
-        alive = c["alive"] > 0
-
-        vmask = v_iota < nv
-        nvf = jnp.maximum(nv, 1).astype(jnp.float32)
-        cx = jnp.sum(jnp.where(vmask, vx, 0.0), axis=0, keepdims=True) / nvf
-        cy = jnp.sum(jnp.where(vmask, vy, 0.0), axis=0, keepdims=True) / nvf
-        cz = jnp.sum(jnp.where(vmask, vz, 0.0), axis=0, keepdims=True) / nvf
-
-        ax, ay, az = vert_coord(f0, vx), vert_coord(f0, vy), vert_coord(f0, vz)
-        bx, by, bz = vert_coord(f1, vx), vert_coord(f1, vy), vert_coord(f1, vz)
-        gx, gy, gz = vert_coord(f2, vx), vert_coord(f2, vy), vert_coord(f2, vz)
-        e1x, e1y, e1z = bx - ax, by - ay, bz - az
-        e2x, e2y, e2z = gx - ax, gy - ay, gz - az
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        nrm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-        ok = alive & (nrm > epz)
-        inv = 1.0 / jnp.where(nrm > epz, nrm, 1.0)
-        nx, ny, nz = nx * inv, ny * inv, nz * inv
-        outward = (nx * (ax - cx) + ny * (ay - cy) + nz * (az - cz)) >= 0.0
-        sgn = jnp.where(outward, 1.0, -1.0)
-        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-        dist = nx * ax + ny * ay + nz * az          # (F, BLOCK)
-        big = jnp.float32(3.4e38)
-        dist = jnp.where(ok, dist, big)
-
-        all_deg = jnp.max(jnp.where(ok, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True) == 0
-        kmin = jnp.argmin(dist, axis=0, keepdims=True)   # (1, BLOCK)
-        star = f_iota == kmin
-        d_min = jnp.where(all_deg, 0.0, jnp.min(dist, axis=0, keepdims=True))
-        dirx = jnp.sum(jnp.where(star, nx, 0.0), axis=0, keepdims=True)
-        diry = jnp.sum(jnp.where(star, ny, 0.0), axis=0, keepdims=True)
-        dirz = jnp.sum(jnp.where(star, nz, 0.0), axis=0, keepdims=True)
-        direction = pwhere(all_deg, pzero(block), P3(dirx, diry, dirz))
-
-        w = support(direction)
-        gain = pdot(w, direction) - d_min
-        dup = jnp.max(
-            jnp.where(vmask & (jnp.abs(vx - w.x) < eps)
-                      & (jnp.abs(vy - w.y) < eps)
-                      & (jnp.abs(vz - w.z) < eps), jnp.int32(1), jnp.int32(0)),
-            axis=0, keepdims=True) > 0
-        converged = (gain < eps) | dup
-
-        visible = ok & ((nx * w.x + ny * w.y + nz * w.z) > dist + epz)
-        visible = (visible | star) & alive
-
-        u = jnp.concatenate([f0, f1, f2], axis=0)    # (E, BLOCK)
-        v = jnp.concatenate([f1, f2, f0], axis=0)
-        evis = jnp.concatenate([visible, visible, visible], axis=0)
-        ukey = jnp.where(evis, jnp.minimum(u, v) * V + jnp.maximum(u, v), -1)
-        # pairwise undirected match (chunked): count of OTHER edges sharing
-        # the key
-        cnt = jnp.zeros((E, block), jnp.int32)
-        ch = 32
-        for j0 in range(0, E, ch):
-            j1 = min(j0 + ch, E)
-            blk = jnp.expand_dims(lax.slice_in_dim(ukey, j0, j1, axis=0), 0)
-            cnt = cnt + jnp.sum(
-                jnp.where(ukey[:, None, :] == blk, jnp.int32(1), jnp.int32(0)),
-                axis=1, dtype=jnp.int32)
-        cnt = cnt - 1
-        horizon = evis & (cnt == 0)
-
-        n_new = jnp.sum(jnp.where(horizon, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True, dtype=jnp.int32)
-        free = ~alive | visible
-        n_free = jnp.sum(jnp.where(free, jnp.int32(1), jnp.int32(0)), axis=0, keepdims=True, dtype=jnp.int32)
-        # capacity failures (bigger buffers fix them -> cascade retry) vs
-        # intrinsic degeneracy (no expansion exists -> retry is futile)
-        cant_cap = (~converged) & ((n_new > n_free) | (nv >= V))
-        cant_deg = (~converged) & ((n_new == 0) | all_deg)
-        cant = cant_cap | cant_deg
-        do_ins = run & ~(converged | cant)
-
-        # cumulative counts via constant-triangular matmuls (MXU)
-        tri_f = jnp.tril(jnp.ones((F, F), jnp.float32))
-        tri_e = jnp.tril(jnp.ones((E, E), jnp.float32))
-        rank_f = jnp.dot(tri_f, jnp.where(free, 1.0, 0.0),
-                         preferred_element_type=jnp.float32).astype(jnp.int32) - 1
-        chor = jnp.dot(tri_e, jnp.where(horizon, 1.0, 0.0),
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
-        # src edge for slot rank r: #(chor < r+1), chunked over E
-        src = jnp.zeros((F, block), jnp.int32)
-        for j0 in range(0, E, ch):
-            j1 = min(j0 + ch, E)
-            cblk = jnp.expand_dims(lax.slice_in_dim(chor, j0, j1, axis=0), 0)
-            src = src + jnp.sum(
-                jnp.where(cblk < (rank_f[:, None, :] + 1), jnp.int32(1), jnp.int32(0)),
-                axis=1, dtype=jnp.int32)
-        src = jnp.clip(src, jnp.int32(0), jnp.int32(E - 1))                     # (F, BLOCK)
-        write = free & (rank_f < n_new) & do_ins
-        # gather edge endpoints by chunked one-hot over E
-        uu = jnp.zeros((F, block), jnp.int32)
-        vv = jnp.zeros((F, block), jnp.int32)
-        for j0 in range(0, E, ch):
-            j1 = min(j0 + ch, E)
-            js = lax.broadcasted_iota(jnp.int32, (j1 - j0, 1, 1), 0) + j0
-            soh = src[None, :, :] == js                   # (ch, F, BLOCK)
-            ublk = jnp.expand_dims(lax.slice_in_dim(u, j0, j1, axis=0), 1)
-            vblk = jnp.expand_dims(lax.slice_in_dim(v, j0, j1, axis=0), 1)
-            uu = uu + jnp.sum(jnp.where(soh, ublk, 0), axis=0, dtype=jnp.int32)
-            vv = vv + jnp.sum(jnp.where(soh, vblk, 0), axis=0, dtype=jnp.int32)
-
-        f0n = jnp.where(write, uu, f0)
-        f1n = jnp.where(write, vv, f1)
-        f2n = jnp.where(write, nv, f2)
-        # int32-valued select: mosaic rejects bool-valued (i8<->i1) selects
-        alive_keep = jnp.where((alive & ~visible) | write, jnp.int32(1), jnp.int32(0))
-        alive_n = jnp.where(do_ins, alive_keep, c["alive"])
-        sel = (v_iota == nv) & do_ins
-        vxn = jnp.where(sel, w.x, vx)
-        vyn = jnp.where(sel, w.y, vy)
-        vzn = jnp.where(sel, w.z, vz)
-        nvn = jnp.where(do_ins, nv + 1, nv)
-
-        done_now = run & (converged | cant)
-        status = c["status"]
-        status = jnp.where(run & converged, Status.HIT, status)
-        status = jnp.where(run & cant_deg, Status.HIT_EPA_DEGENERATE, status)
-        status = jnp.where(run & cant_cap, Status.HIT_EPA_CAPACITY, status)
-        return {
-            "vx": vxn, "vy": vyn, "vz": vzn, "nv": nvn,
-            "f0": f0n, "f1": f1n, "f2": f2n, "alive": alive_n,
-            "it": jnp.where(run, c["it"] + 1, c["it"]),
-            "done": c["done"] | jnp.where(done_now, jnp.int32(1), jnp.int32(0)),
-            "depth": jnp.where(run, d_min, c["depth"]),
-            "nx_out": jnp.where(run, direction.x, c["nx_out"]),
-            "ny_out": jnp.where(run, direction.y, c["ny_out"]),
-            "nz_out": jnp.where(run, direction.z, c["nz_out"]),
-            "status": status,
-        }
-
-    z = jnp.zeros((1, block), jnp.float32)
-    carry = {
-        "vx": vx0, "vy": vy0, "vz": vz0,
-        "nv": jnp.full((1, block), 4, jnp.int32),
-        "f0": fi[0], "f1": fi[1], "f2": fi[2], "alive": alive0,
-        "it": jnp.zeros((1, block), jnp.int32),
-        "done": jnp.where(active, jnp.int32(0), jnp.int32(1)),
-        "depth": z, "nx_out": z, "ny_out": z, "nz_out": z,
-        "status": jnp.full((1, block), Status.HIT_EPA_CAP, jnp.int32),
-    }
-    out = lax.while_loop(cond, body, carry)
-    depth = jnp.where(active, out["depth"], 0.0)
-    normal = pwhere(active, P3(out["nx_out"], out["ny_out"], out["nz_out"]),
-                    pzero(block))
-    status = jnp.where(active, out["status"], 0)
-    return depth, normal, out["it"], status
-
-
 def _epa_phase_fast(support, simplex, active, cfg: GJKEPAConfig, block,
                     k_vis: int = 8):
-    """Compact-visible EPA: the fast first stage of the cascade.
+    """Compact-visible EPA: the kernel-side EPA engine (all cascade tiers).
 
-    Same observable contract as :func:`_epa_phase` (depth = closest-face
-    plane distance, normal = that face's outward normal, ref :994-1009) but
-    ~5-10x cheaper per iteration:
+    Same observable contract as the portable XLA path (ops/epa.py: depth =
+    closest-face plane distance, normal = that face's outward normal,
+    ref :994-1009) but ~5-10x cheaper per iteration than a dense
+    all-faces formulation:
 
       * faces carry their corner COORDS, corner vertex ids and PLANE
         (unit normal + origin distance) in the loop state — planes are
@@ -660,9 +459,9 @@ def _epa_phase_fast(support, simplex, active, cfg: GJKEPAConfig, block,
         3*k_vis edge rows and the undirected-edge match runs on
         (3K)^2 = 576 key compares instead of the general kernel's
         (3F)^2 = 20736;
-      * lanes that ever exceed k_vis visible faces (or any other capacity)
-        exit with HIT_EPA_DEGENERATE and are re-run by the general kernel
-        in the cascade — correctness never depends on the fast path.
+      * lanes that ever exceed k_vis visible faces (or the face buffer)
+        exit with HIT_EPA_CAPACITY and are re-run by the next _epa_cascade
+        tier (larger K / F) — correctness never depends on one tier's caps.
     """
     eps = cfg.eps_coincide
     epz = cfg.eps_zero
@@ -1017,6 +816,45 @@ def _polish_direction(support, depth, normal: P3, status, ok, block,
     return depth_out, normal_out, status_out
 
 
+def _epa_cascade(support, simplex, active, stages, block):
+    """Run the EPA tier ladder inside ONE kernel.
+
+    `stages` is a list of (cfg, k_vis) tiers.  Stage 1 runs over all active
+    lanes; each later stage re-runs only the lanes the previous one stopped
+    for a CAPACITY reason (face-buffer / visible-set overflow — a larger
+    budget fixes those; intrinsic degeneracy and the iteration cap reproduce
+    identically at any capacity and are never retried, see _cascade_plan).
+    Every retry tier sits behind a scalar cond, so the common all-converged
+    block pays nothing for the ladder.
+
+    This is the block-local equivalent of the former XLA-level cascade (one
+    pallas pass + row rewrite + merge per stage): results are identical
+    per-lane; what changed is that the retry decision is per-block instead
+    of global, which deletes the per-stage inactive-program floor (~0.3 ms
+    per 64k-lane pass) and the inter-stage glue."""
+    c0, kv0 = stages[0]
+    depth, normal, it, status = _epa_phase_fast(support, simplex, active, c0,
+                                                block, k_vis=kv0)
+    z1 = jnp.zeros((1, block), jnp.float32)
+    zi = jnp.zeros((1, block), jnp.int32)
+    for c, kv in stages[1:]:
+        retry = active & (status == Status.HIT_EPA_CAPACITY)
+
+        def run_tier(_, c=c, kv=kv, retry=retry):
+            return _epa_phase_fast(support, simplex, retry, c, block,
+                                   k_vis=kv)
+
+        def skip_tier(_):
+            return z1, P3(z1, z1, z1), zi, zi
+
+        d2, n2, i2, s2 = lax.cond(jnp.any(retry), run_tier, skip_tier, None)
+        depth = jnp.where(retry, d2, depth)
+        normal = pwhere(retry, n2, normal)
+        it = jnp.where(retry, i2, it)
+        status = jnp.where(retry, s2, status)
+    return depth, normal, it, status
+
+
 def _hull_broadphase(v1x, v1y, v1z, v2x, v2y, v2z, tol):
     c1 = P3(jnp.mean(v1x, axis=0, keepdims=True),
             jnp.mean(v1y, axis=0, keepdims=True),
@@ -1066,15 +904,47 @@ def _read_simplex(gin_ref):
         for i in range(4))
 
 
+def _gjk_guard(support, active, table_xyz, cfg, block):
+    """Run the whole GJK phase (init probes + iterate loop) only if any lane
+    in the block is active (scalar cond).
+
+    The init phase alone costs 4+ support probes plus the containment test,
+    and it previously ran in EVERY block — including blocks whose lanes were
+    all broadphase-rejected or closed-form-final (96 of 128 on the 64k
+    mixed-analytic bench).  The skip branch reproduces `_gjk_phase`'s
+    all-inactive outputs exactly: status MISS_BROADPHASE, zero iters, zero
+    separation (the simplex rows of inactive lanes are never read)."""
+    z = pzero(block)
+    zi = jnp.zeros((1, block), jnp.int32)
+
+    def skip(_):
+        return ((z, z, z, z),
+                jnp.full((1, block), Status.MISS_BROADPHASE, jnp.int32),
+                zi, jnp.zeros((1, block), jnp.float32))
+
+    return lax.cond(jnp.any(active),
+                    lambda _: _gjk_phase(support, active, table_xyz, cfg,
+                                         block),
+                    skip, None)
+
+
+def _epa_act(gin_ref):
+    """EPA activity recomputed from the permuted gin rows: hit (row 0) and
+    not closed-form-final (row 16; always zero on the hull path).  Computing
+    it in-kernel saves the XLA-side (enb, eb) row rewrite per stage."""
+    return (gin_ref[0:1, :] > 0.5) & (gin_ref[16:17, :] < 0.5)
+
+
 def _epa_guard(active, block, phase):
     """Run `phase()` only if any lane in the block is active (scalar cond).
 
     A fully-inactive EPA program otherwise still pays the (F, BLOCK) carry
     initialization before its while loop can exit — measured at ~4.7 us per
-    program for the F=208 stage, i.e. 2.4 ms per 64k-pair call spent on
-    blocks with nothing to do.  Inactive lanes' outputs are zero either way
-    (_write_epa_out masks on `active`; status/iters of inactive lanes are
-    never read downstream)."""
+    program for the F=208 tier, i.e. 2.4 ms per 64k-pair call spent on
+    blocks with nothing to do.  Inactive lanes' outputs are identical
+    either way: _write_epa_out selects per-lane between the cascade result
+    (active), the closed-form channel (final) and zeros+GJK status (miss),
+    and skipped blocks have no active lanes."""
     z1 = jnp.zeros((1, block), jnp.float32)
     zi = jnp.zeros((1, block), jnp.int32)
 
@@ -1084,14 +954,38 @@ def _epa_guard(active, block, phase):
     return lax.cond(jnp.any(active), lambda _: phase(), skip, None)
 
 
-def _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status):
+def _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status,
+                   gin_ref):
+    """Write the EPA output rows, MERGED: every lane leaves with its final
+    depth/normal/status, so the XLA side needs no where(final/miss, ...)
+    passes at all (they cost ~0.2 ms of (B,)-row fusions per 64k call).
+
+      * active lanes: the cascade's depth/normal; status with any surviving
+        CAPACITY verdict mapped to HIT_EPA_DEGENERATE (a capacity exit from
+        the FINAL tier is degenerate to callers — same mapping the XLA
+        driver used to apply);
+      * closed-form-final lanes (gin row 16; always zero on the hull path):
+        the exact depth/normal the GJK kernel carried in rows 17-20;
+      * everything else (misses): zeros, with the GJK status (row 1)
+        passed through.
+
+    Runs OUTSIDE the _epa_guard — skipped all-inactive blocks still pass
+    their closed-form/miss rows through (a handful of (1, BLOCK) selects).
+    """
     f = jnp.float32
-    out_ref[0:1, :] = jnp.where(active, depth, 0.0).astype(f)
-    out_ref[1:2, :] = jnp.where(active, normal.x, 0.0).astype(f)
-    out_ref[2:3, :] = jnp.where(active, normal.y, 0.0).astype(f)
-    out_ref[3:4, :] = jnp.where(active, normal.z, 0.0).astype(f)
-    out_ref[4:5, :] = epa_iters.astype(f)
-    out_ref[5:6, :] = status.astype(f)
+    final = gin_ref[16:17, :] > 0.5
+    status = jnp.where(status == Status.HIT_EPA_CAPACITY,
+                       Status.HIT_EPA_DEGENERATE, status)
+    out_ref[0:1, :] = jnp.where(
+        active, depth, jnp.where(final, gin_ref[17:18, :], 0.0)).astype(f)
+    out_ref[1:2, :] = jnp.where(
+        active, normal.x, jnp.where(final, gin_ref[18:19, :], 0.0)).astype(f)
+    out_ref[2:3, :] = jnp.where(
+        active, normal.y, jnp.where(final, gin_ref[19:20, :], 0.0)).astype(f)
+    out_ref[3:4, :] = jnp.where(
+        active, normal.z, jnp.where(final, gin_ref[20:21, :], 0.0)).astype(f)
+    out_ref[4:5, :] = jnp.where(active, epa_iters, 0).astype(f)
+    out_ref[5:6, :] = jnp.where(active, status.astype(f), gin_ref[1:2, :])
     out_ref[6:8, :] = jnp.zeros((2, block), f)
 
 
@@ -1166,55 +1060,47 @@ def _gjk_kernel_hulls_big(p1_ref, p2_ref, act_ref, out_ref, s1, s2,
     support = _make_hull_support_streamed(p1_ref, p2_ref, s1, s2, sem1, sem2,
                                           tile, block)
     active = act_ref[0:1, :] > 0.5
-    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
+    simplex, status, gjk_iters, sep = _gjk_guard(support, active, _TABLE_ROWS,
                                                  cfg, block)
     _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
 
 
-def _epa_fast_kernel_hulls_big(p1_ref, p2_ref, gin_ref, out_ref, s1, s2,
-                               sem1, sem2, *, cfg, block, tile, k_vis=8):
+def _epa_cascade_kernel_hulls_big(p1_ref, p2_ref, gin_ref, out_ref, s1, s2,
+                                  sem1, sem2, *, stages, block, tile):
     support = _make_hull_support_streamed(p1_ref, p2_ref, s1, s2, sem1, sem2,
                                           tile, block)
-    active = gin_ref[0:1, :] > 0.5
+    active = _epa_act(gin_ref)
     simplex = _read_simplex(gin_ref)
     depth, normal, epa_iters, status = _epa_guard(
         active, block,
-        lambda: _epa_phase_fast(support, simplex, active, cfg, block,
-                                k_vis=k_vis))
-    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
+        lambda: _epa_cascade(support, simplex, active, stages, block))
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status,
+                   gin_ref)
 
 
 def _gjk_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, use_broadphase):
     support, v1, v2 = _hull_views(p1_ref, p2_ref, block)
     if use_broadphase:
         active = _hull_broadphase(*v1, *v2, cfg.broadphase_tol)
+        simplex, status, gjk_iters, sep = _gjk_guard(
+            support, active, _TABLE_ROWS, cfg, block)
     else:
         active = jnp.ones((1, block), bool)
-    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
-                                                 cfg, block)
+        simplex, status, gjk_iters, sep = _gjk_phase(
+            support, active, _TABLE_ROWS, cfg, block)
     _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
 
 
-def _epa_kernel_hulls(p1_ref, p2_ref, gin_ref, out_ref, *, cfg, block):
+def _epa_cascade_kernel_hulls(p1_ref, p2_ref, gin_ref, out_ref, *, stages,
+                              block):
     support, _, _ = _hull_views(p1_ref, p2_ref, block)
-    active = gin_ref[0:1, :] > 0.5
+    active = _epa_act(gin_ref)
     simplex = _read_simplex(gin_ref)
     depth, normal, epa_iters, status = _epa_guard(
         active, block,
-        lambda: _epa_phase(support, simplex, active, cfg, block))
-    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
-
-
-def _epa_fast_kernel_hulls(p1_ref, p2_ref, gin_ref, out_ref, *, cfg, block,
-                           k_vis=8):
-    support, _, _ = _hull_views(p1_ref, p2_ref, block)
-    active = gin_ref[0:1, :] > 0.5
-    simplex = _read_simplex(gin_ref)
-    depth, normal, epa_iters, status = _epa_guard(
-        active, block,
-        lambda: _epa_phase_fast(support, simplex, active, cfg, block,
-                                k_vis=k_vis))
-    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
+        lambda: _epa_cascade(support, simplex, active, stages, block))
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status,
+                   gin_ref)
 
 
 class FusedResult(NamedTuple):
@@ -1241,14 +1127,16 @@ def _round_cfg(cfg):
 
 
 def _cascade_plan(cfg):
-    """EPA cascade stages: (kind, cfg, k_vis) triples.
+    """EPA tier ladder for the hull path: (cfg, k_vis) pairs, consumed by
+    _epa_cascade INSIDE one kernel (the tiers used to be separate pallas
+    passes; the per-lane semantics are unchanged).
 
-    Stage 1: compact-visible fast kernel with a small face buffer (F=48,
-    K=8) — covers the vast majority of contacts at minimum per-iteration
-    cost.  Stage 2: the same kernel sized for the WORST case (face capacity
-    2*epa_max_iters+10 covers every iteration up to the reference's cap,
-    ref :299, and K=16 covers the over-K visible sets measured at <0.1%) —
-    it re-runs only the lanes stage 1 stopped for a CAPACITY reason
+    Tier 1: compact-visible EPA with a small face buffer (F=48, K=8) —
+    covers the vast majority of contacts at minimum per-iteration cost.
+    Final tier: sized for the WORST case (face capacity 2*epa_max_iters+10
+    covers every iteration up to the reference's cap, ref :299, and K=16
+    covers the over-K visible sets measured at <0.1%) — it re-runs only the
+    lanes the previous tier stopped for a CAPACITY reason
     (Status.HIT_EPA_CAPACITY: face-buffer or visible-set overflow, which a
     larger budget fixes); intrinsically degenerate or iteration-capped
     lanes reproduce identically under any capacity and are never retried.
@@ -1256,23 +1144,21 @@ def _cascade_plan(cfg):
     iteration cap, not the cfg.epa_max_faces knob (which still governs the
     portable XLA path).
 
-    epa_max_iters == 0 means boolean-only mode: no EPA kernels at all (the
+    The middle F=88 tier lets slow-converging curved contacts (30-40
+    iterations ~ 80+ live faces) finish without restarting at the
+    worst-case F=208 budget, while polytopal contacts (<= 20 iterations)
+    still run the cheap F=48 tier (measured on the 16k deep-hull workload).
+
+    epa_max_iters == 0 means boolean-only mode: no EPA kernel at all (the
     reference's miss path never enters EPA, ref :178-236)."""
     if cfg.epa_max_iters == 0:
         return []
     rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
     full_f = rup(max(2 * cfg.epa_max_iters + 10, cfg.epa_max_faces))
-    # Tier ladder measured on v5e (64k mixed-analytic + 16k deep-hull
-    # workloads): a middle F=88 tier lets slow-converging curved contacts
-    # (30-40 iterations ~ 80+ live faces) finish without restarting at the
-    # worst-case F=208 budget, while polytopal contacts (<= 20 iterations)
-    # still run the cheap F=48 tier.  48/88/208 beat both the 2-stage
-    # 48/208 plan (c3 11.2 -> 13.9M q/s) and every single-stage plan that
-    # was tried on at least one workload.
     tiers = [(48, 8), (88, 8)]
-    stages = [("fast", cfg.replace(epa_max_faces=f), k)
+    stages = [(cfg.replace(epa_max_faces=f), k)
               for f, k in tiers if f < full_f]
-    stages.append(("fast", cfg.replace(epa_max_faces=full_f), 16))
+    stages.append((cfg.replace(epa_max_faces=full_f), 16))
     return stages
 
 
@@ -1281,21 +1167,21 @@ def _vecspec(rows, block):
                         memory_space=pltpu.VMEM)
 
 
-def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
+def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
                    interpret, sort_hits, epa_block=None, epa_geom_specs=None,
-                   out_rows=24, geom_in_rows=False, scratch_shapes=None):
-    """Shared multi-phase driver.
+                   out_rows=24, geom_in_rows=False, scratch_shapes=None,
+                   pre_dest=None):
+    """Shared two-phase driver.
 
     Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
     hit-compacted order: pairs are permuted so active lanes occupy the
     leading blocks, letting the per-block EPA while-loop exit immediately
     for the inactive majority — EPA cost scales with the number of
-    contacts, not the batch size.  `epa_kernels` is a cascade: the first
-    (small polytope caps, cheap per iteration) handles everyone; lanes it
-    reports capacity-degenerate (status HIT_EPA_DEGENERATE) are re-run by
-    the next kernel (larger caps), and so on.  Outputs are scattered back.
+    contacts, not the batch size.  `epa_kernel` is ONE kernel carrying the
+    whole capacity-tier ladder internally (_epa_cascade); it recomputes its
+    activity from the gin rows (_epa_act).  Outputs are scattered back.
 
-    `epa_kernels` may be empty (boolean-only mode: the reference's miss
+    `epa_kernel` may be None (boolean-only mode: the reference's miss
     path never enters EPA, ref :76-77,182-236): the GJK kernel result is
     returned directly with zero depth/normal and no EPA dispatch at all.
 
@@ -1311,6 +1197,11 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     already rebuilds the lane layout, so the re-blocking is free.  When
     set, `epa_geom_specs` must carry the epa_block-shaped BlockSpecs and
     the EPA kernels must be built with block=epa_block.
+
+    `pre_dest` (optional (B,) int32): the caller already scattered pair i
+    into lane pre_dest[i] before the GJK kernel (GJK-lane grouping); the
+    result assembly composes the inverse into its existing gathers so
+    outputs come back in the caller's natural order at no extra passes.
     """
     nb = b // block
     eb = epa_block or block
@@ -1337,23 +1228,45 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
     final = gflat[:, 16] > 0.5
     epa_act = hit & ~final
 
-    if not epa_kernels:  # boolean-only: one kernel launch, nothing else
+    if epa_kernel is None:  # boolean-only: one kernel launch, nothing else
         # Closed-form analytic lanes (kernel-final channel, rows 17-20)
         # carry exact depth/normal even in boolean mode — merge them so
         # epa_max_iters=0 loses nothing on those lanes.
+        g = gflat[:, :21][pre_dest] if pre_dest is not None else gflat
+        fin = g[:, 16] > 0.5
         return FusedResult(
-            hit=hit,
-            status=gflat[:, 1].astype(jnp.int32),
-            depth=jnp.where(final, gflat[:, 17], 0.0),
-            normal=jnp.where(final[:, None], gflat[:, 18:21], 0.0),
-            gjk_iters=gflat[:, 2].astype(jnp.int32),
+            hit=g[:, 0] > 0.5,
+            status=g[:, 1].astype(jnp.int32),
+            depth=jnp.where(fin, g[:, 17], 0.0),
+            normal=jnp.where(fin[:, None], g[:, 18:21], 0.0),
+            gjk_iters=g[:, 2].astype(jnp.int32),
             epa_iters=jnp.zeros((b,), jnp.int32),
-            distance=gflat[:, 3],
+            distance=g[:, 3],
         )
 
-    def permute_geom(arr, order):
-        # (nb, *feat, block) -> flat pair-major -> permuted -> back at the
-        # EPA lane width (enb, *feat, eb).  All reshapes/permutes go
+    # Hit-compaction permutation: hit lanes first (stable).  dest (natural
+    # lane -> compacted lane) comes from ONE cumsum: with c = inclusive
+    # prefix count of active lanes and i = iota, dest[i] = c-1 for active
+    # lanes and n_act + (i - c) for inactive ones (i - c = count of
+    # inactive lanes strictly before i).  The inverse `order` comes from a
+    # 2-array sort keyed on dest — NOT from a scatter and NOT from an
+    # argsort over data keys: on this TPU a 64k-lane scatter lowers to
+    # sort+apply whose apply pass alone costs 0.33 ms (3x a row gather)
+    # and a 1-D s32 gather costs 0.47 ms (packed-layout pathology), while
+    # lax.sort on two s32[64k] arrays is 0.03 ms.  All row movement is
+    # GATHERS: forward by order, backward by dest.
+    if sort_hits:
+        act_i = epa_act.astype(jnp.int32)
+        c = jnp.cumsum(act_i)
+        i = jnp.arange(b, dtype=jnp.int32)
+        dest = jnp.where(epa_act, c - 1, c[-1] + i - c)
+        _, order = lax.sort((dest, i), num_keys=1)
+    else:
+        dest = order = jnp.arange(b)
+
+    def permute_geom(arr):
+        # (nb, *feat, block) -> flat pair-major -> gathered by order ->
+        # back at the EPA lane width (enb, *feat, eb).  All reshapes go
         # through 2-D swapaxes: XLA's 4-D transposes with a tiny inner dim
         # run ~70x slower on TPU.
         shp = arr.shape
@@ -1363,91 +1276,53 @@ def _run_two_phase(gjk_kernel, epa_kernels, geom_arrays, geom_specs, b, block,
         back = jnp.swapaxes(flat.reshape(enb, eb, feat), 1, 2)
         return back.reshape((enb,) + shp[1:-1] + (eb,))
 
-    # One permutation for the WHOLE cascade: hit lanes first (stable).  All
-    # cascade stages run in permuted space — a retried lane set is a subset
-    # of the hit set, so it stays clustered in the leading blocks and
-    # regating stage s+1 is a per-lane mask update with NO further sorts or
-    # geometry gathers.  BOTH permutations come from cumsums — no argsort:
-    # dest[i] = rank of lane i among (hits, misses) is a prefix count, and
-    # order = dest^-1 is one int32 scatter of iota (an XLA sort over 64k
-    # keys costs ~20 passes; the scatter is one).
-    if sort_hits:
-        act_i = epa_act.astype(jnp.int32)
-        n_act = jnp.sum(act_i)
-        dest = jnp.where(epa_act, jnp.cumsum(act_i) - 1,
-                         n_act + jnp.cumsum(1 - act_i) - 1)
-        order = jnp.zeros((b,), jnp.int32).at[dest].set(
-            jnp.arange(b, dtype=jnp.int32), unique_indices=True,
-            indices_are_sorted=False)
-    else:
-        order = dest = jnp.arange(b)
     # `geom_in_rows`: the GJK kernel copied the per-pair geometry into its
     # output rows (shapes path: packed shape rows 24-55), so the EPA phase
     # needs ONE permuted gather of gflat instead of one per geometry array
     # — this killed ~40% of the inter-phase XLA glue on the 64k analytic
     # workload (the geometry permutes were reshape+gather+reshape each).
     geom_p = (() if geom_in_rows
-              else tuple(permute_geom(a, order) for a in geom_arrays))
+              else tuple(permute_geom(a) for a in geom_arrays))
+    # EPA activity (hit & ~final, rows 0/16) is recomputed from the
+    # permuted rows INSIDE the kernel (_epa_act) — no XLA-side row rewrite.
     g_perm = gflat[order]
     gin = jnp.swapaxes(g_perm.reshape(enb, eb, out_rows), 1, 2)
-    # EPA activity excludes kernel-final lanes (row 16), not just misses.
-    # Recomputed from the permuted f32 rows — gathering a pred[B] array by
-    # `order` lowers to a pathological packed-bool gather (measured 527 us
-    # for 64k lanes vs ~100 us for the full (B, 24) f32 gather).
-    act_p = (g_perm[:, 0] > 0.5) & (g_perm[:, 16] < 0.5)
-    gin = gin.at[:, 0, :].set(
-        jnp.where(act_p, 1.0, 0.0).reshape(enb, eb))
 
     epa_in_specs = ([] if geom_in_rows else list(epa_geom_specs))
+    eout = pl.pallas_call(
+        epa_kernel,
+        grid=(enb,),
+        out_shape=jax.ShapeDtypeStruct((enb, 8, eb), jnp.float32),
+        in_specs=epa_in_specs + [_vecspec(out_rows, eb)],
+        out_specs=_vecspec(8, eb),
+        scratch_shapes=scratch_shapes or [],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*geom_p, gin)
+    eflat_p = jnp.swapaxes(eout, 1, 2).reshape(b, 8)         # permuted space
+    # back to the CALLER's order: chained f32 ROW gathers (compacted ->
+    # grouped -> natural) — composing the two index maps first would itself
+    # be a 1-D s32 gather, which costs 4x more than the row gathers (64k
+    # row gathers cost ~0.1 ms each regardless of row width, so the EPA
+    # rows and the GJK-kernel rows ride ONE gather as a concat).
+    eflat = eflat_p[dest]
+    if pre_dest is not None:
+        comb = jnp.concatenate([eflat, gflat[:, :4]], axis=1)[pre_dest]
+        eflat, gnat = comb[:, :8], comb[:, 8:]
+    else:
+        gnat = gflat
 
-    def epa_pass(epa_kernel, gin_stage):
-        eout = pl.pallas_call(
-            epa_kernel,
-            grid=(enb,),
-            out_shape=jax.ShapeDtypeStruct((enb, 8, eb), jnp.float32),
-            in_specs=epa_in_specs + [_vecspec(out_rows, eb)],
-            out_specs=_vecspec(8, eb),
-            scratch_shapes=scratch_shapes or [],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(*geom_p, gin_stage)
-        return jnp.swapaxes(eout, 1, 2).reshape(b, 8)        # permuted space
-
-    active_p = act_p
-    eflat_p = epa_pass(epa_kernels[0], gin)
-    for kern in epa_kernels[1:]:
-        # ONLY capacity-limited lanes are re-run by the next (larger-budget)
-        # stage: intrinsic degeneracy (duplicate support / degenerate
-        # polytope) and the iteration cap reproduce identically under any
-        # capacity, so retrying them is provably futile — and measured
-        # workloads showed exactly that futile retry dominating the EPA
-        # phase (31 cyl-cyl lanes re-ran 23 iterations at 4x per-iter cost
-        # for a bit-identical outcome).
-        retry_p = active_p & (eflat_p[:, 5].astype(jnp.int32)
-                              == Status.HIT_EPA_CAPACITY)
-        gin_retry = gin.at[:, 0, :].set(
-            jnp.where(retry_p, 1.0, 0.0).reshape(enb, eb))
-        eflat2_p = epa_pass(kern, gin_retry)
-        eflat_p = jnp.where(retry_p[:, None], eflat2_p, eflat_p)
-        active_p = retry_p
-
-    eflat = eflat_p[dest]                                    # natural order
-
-    status = gflat[:, 1].astype(jnp.int32)
-    epa_status = eflat[:, 5].astype(jnp.int32)
-    # a capacity verdict surviving the final stage is degenerate to callers
-    epa_status = jnp.where(epa_status == Status.HIT_EPA_CAPACITY,
-                           Status.HIT_EPA_DEGENERATE, epa_status)
-    status = jnp.where(epa_act, epa_status, status)
+    # The EPA kernel already merged closed-form/miss lanes into its output
+    # rows (_write_epa_out), so the result assembly is pure slicing.
     return FusedResult(
-        hit=hit,
-        status=status,
-        depth=jnp.where(final, gflat[:, 17], eflat[:, 0]),
-        normal=jnp.where(final[:, None], gflat[:, 18:21], eflat[:, 1:4]),
-        gjk_iters=gflat[:, 2].astype(jnp.int32),
-        epa_iters=jnp.where(final, 0, eflat[:, 4].astype(jnp.int32)),
-        distance=gflat[:, 3],
+        hit=gnat[:, 0] > 0.5,
+        status=eflat[:, 5].astype(jnp.int32),
+        depth=eflat[:, 0],
+        normal=eflat[:, 1:4],
+        gjk_iters=gnat[:, 2].astype(jnp.int32),
+        epa_iters=eflat[:, 4].astype(jnp.int32),
+        distance=gnat[:, 3],
     )
 
 
@@ -1554,17 +1429,16 @@ def _fused_hulls_streamed(p1, p2, b, cfg, use_broadphase, interpret,
         _gjk_kernel_hulls_big(p1r, p2r, actr.at[0], outr.at[0], s1, s2,
                               m1, m2, cfg=cfg, block=block, tile=tile)
 
-    def mk_epa(c, kv):
+    stages = _cascade_plan(cfg)
+    if stages:
         def epa_wrap(p1r, p2r, actr, ginr, outr, s1, s2, m1, m2):
             del actr  # EPA activity comes from the gin block
-            _epa_fast_kernel_hulls_big(p1r, p2r, ginr.at[0], outr.at[0],
-                                       s1, s2, m1, m2, cfg=c, block=block,
-                                       tile=tile, k_vis=kv)
-        return epa_wrap
-
-    epa_kernels = [mk_epa(c, kv) for kind, c, kv in _cascade_plan(cfg)
-                   if kind == "fast"]
-    return _run_two_phase(gjk_wrap, epa_kernels, (p1t, p2t, act), specs, b,
+            _epa_cascade_kernel_hulls_big(p1r, p2r, ginr.at[0], outr.at[0],
+                                          s1, s2, m1, m2, stages=stages,
+                                          block=block, tile=tile)
+    else:
+        epa_wrap = None
+    return _run_two_phase(gjk_wrap, epa_wrap, (p1t, p2t, act), specs, b,
                           block, interpret, sort_hits,
                           scratch_shapes=scratch)
 
@@ -1640,20 +1514,14 @@ def fused_gjkepa_hulls(p1, p2, mask1=None, mask2=None,
                      memory_space=pltpu.VMEM),
     )
 
-    def mk_epa(kind, c, kv):
-        if kind == "fast":
-            def epa_wrap(p1r, p2r, ginr, outr):
-                _epa_fast_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0],
-                                       outr.at[0], cfg=c, block=eb,
-                                       k_vis=kv)
-        else:
-            def epa_wrap(p1r, p2r, ginr, outr):
-                _epa_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0],
-                                  outr.at[0], cfg=c, block=eb)
-        return epa_wrap
-
-    epa_kernels = [mk_epa(k, c, kv) for k, c, kv in _cascade_plan(cfg)]
-    res = _run_two_phase(gjk_wrap, epa_kernels, (p1t, p2t), specs, b, block,
+    stages = _cascade_plan(cfg)
+    if stages:
+        def epa_wrap(p1r, p2r, ginr, outr):
+            _epa_cascade_kernel_hulls(p1r.at[0], p2r.at[0], ginr.at[0],
+                                      outr.at[0], stages=stages, block=eb)
+    else:
+        epa_wrap = None
+    res = _run_two_phase(gjk_wrap, epa_wrap, (p1t, p2t), specs, b, block,
                          interpret, sort_hits, epa_block=eb,
                          epa_geom_specs=epa_specs)
     if b != b_user:
@@ -1930,7 +1798,7 @@ def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
     final, cf_depth, cf_n, cf_gap, cf_status = _closed_form_rows(
         sa, sb, cfg.broadphase_tol, block)
     active = _shape_broadphase(sa, sb, cfg.broadphase_tol) & ~final
-    simplex, status, gjk_iters, sep = _gjk_phase(support, active, _TABLE_ROWS,
+    simplex, status, gjk_iters, sep = _gjk_guard(support, active, _TABLE_ROWS,
                                                  cfg, block)
     status = jnp.where(final, cf_status, status)
     sep = jnp.where(final, jnp.maximum(cf_gap, 0.0), sep)
@@ -2117,42 +1985,48 @@ def _closed_form_shape_pairs(a, b, broadphase_tol):
     return handled, hit, depth, normal, gap, status
 
 
-def _epa_fast_kernel_shapes(gin_ref, out_ref, *, cfg, block,
-                            k_vis=8, polish=True, promote_capacity=False):
-    """Shapes EPA stage: capped fast EPA + closed-form direction polish.
+def _epa_cascade_kernel_shapes(gin_ref, out_ref, *, stages, block,
+                               polish=True):
+    """Shapes EPA kernel: in-kernel tier ladder + closed-form polish.
 
     Every analytic pair still reaching EPA has a curved side (all flat-flat
     combinations — box-box included — are answered in closed form by the
-    GJK kernel), so the smooth-lane treatment applies to the WHOLE stage:
-    run the compact-visible EPA for at most cfg.epa_max_iters iterations
-    (the caller caps it at _SMOOTH_EPA_CAP — enough to localize the basin
-    of the true contact direction), then refine depth/normal with the
+    GJK kernel), so the smooth-lane treatment applies to the WHOLE kernel:
+    run the compact-visible EPA for at most _SMOOTH_EPA_CAP iterations
+    (enough to localize the basin of the true contact direction; the K=16
+    retry tier sits behind a scalar cond for the <0.1% of lanes whose
+    visible set overflows K=8), then refine depth/normal ONCE with the
     fixed-cost support-function descent (_polish_direction).  This removes
     the 90-iteration cylinder-rim straggler tail entirely: worst-case EPA
     cost per lane is bounded and uniform."""
     support = _make_shape_support(gin_ref[24:40, :], gin_ref[40:56, :])
-    active = gin_ref[0:1, :] > 0.5
+    active = _epa_act(gin_ref)
     simplex = _read_simplex(gin_ref)
 
     def run():
-        depth, normal, epa_iters, status = _epa_phase_fast(
-            support, simplex, active, cfg, block, k_vis=k_vis)
+        depth, normal, epa_iters, status = _epa_cascade(
+            support, simplex, active, stages, block)
         if polish:
             depth, normal, status = _polish_direction(
                 support, depth, normal, status, active, block,
-                promote_capacity=promote_capacity)
+                promote_capacity=True)
         return depth, normal, epa_iters, status
 
     depth, normal, epa_iters, status = _epa_guard(active, block, run)
-    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status)
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status,
+                   gin_ref)
 
 
-def _pack_shapes(batch, nb, block):
+def _pack_shapes(batch, nb, block, order=None):
     """ShapeBatch -> (nb, 24, block) f32 packed rows.
 
     INPUT rows 0-15: kind, params, pos, rot; rows 16-23 zero padding
     (sublane alignment).  Unrelated to the kernel OUTPUT row 16, which is
     the closed-form "final" channel written by the GJK kernel.
+
+    `order` (optional (B,) int32 permutation): lane j takes pair order[j]'s
+    rows (a row GATHER — scatters cost 3x more on TPU) — used by the
+    GJK-lane grouping (see fused_gjkepa_shapes).
     """
     bsz = batch.kind.shape[0]
     kind = batch.kind.astype(jnp.float32)[:, None]
@@ -2161,6 +2035,8 @@ def _pack_shapes(batch, nb, block):
     rot = batch.rot.astype(jnp.float32).reshape(-1, 9)
     pad = jnp.zeros((bsz, 8), jnp.float32)
     packed = jnp.concatenate([kind, params, pos, rot, pad], axis=1)
+    if order is not None:
+        packed = packed[order]
     # one large 2-D transpose + leading-dim swap: the direct
     # (nb, block, 24) -> (nb, 24, block) form is a tiny-inner-dim 3-D
     # transpose, which XLA:TPU executes ~10x slower
@@ -2196,11 +2072,45 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     if bsz % block != 0:
         block = 128
     nb = bsz // block
+    # GJK-lane grouping: scatter the (rare) pairs that actually need the
+    # GJK loop — broadphase overlap and no closed form — into the LEADING
+    # lanes, so whole blocks of closed-form/rejected lanes skip the init
+    # probes + iterate loop via _gjk_guard's scalar cond.  Without this the
+    # kernel's cost depends on the CALLER's pair order (a shuffled 64k
+    # batch ran 2.2x slower than the same pairs kind-clustered).  The
+    # predicate mirrors _closed_form_rows' kind table + _shape_broadphase
+    # exactly, but it is advisory: the kernels recompute their own
+    # activity, so a mismatch costs speed, never correctness.
+    if sort_hits:
+        ka = a.kind.astype(jnp.int32)
+        kb = b.kind.astype(jnp.int32)
+        sw_a = (ka == 0) | (ka == 2)
+        sw_b = (kb == 0) | (kb == 2)
+        cf = (sw_a & sw_b) | ((ka == 1) & (kb == 1))
+        cf |= ((ka == 0) & (kb == 1)) | ((ka == 1) & (kb == 0))
+        cf |= ((ka == 0) & (kb == 3)) | ((ka == 3) & (kb == 0))
+
+        def radius(s):
+            p = s.params.astype(jnp.float32)
+            rbox = jnp.sqrt(jnp.sum(p * p, axis=1))
+            return jnp.where(s.kind == 0, p[:, 0],
+                             jnp.where(s.kind == 1, rbox, p[:, 0] + p[:, 1]))
+
+        gap = jnp.sqrt(jnp.sum((a.pos.astype(jnp.float32)
+                                - b.pos.astype(jnp.float32)) ** 2, axis=1))
+        g0 = (gap <= radius(a) + radius(b) + cfg.broadphase_tol) & ~cf
+        gi = g0.astype(jnp.int32)
+        csum = jnp.cumsum(gi)
+        iot = jnp.arange(bsz, dtype=jnp.int32)
+        dest1 = jnp.where(g0, csum - 1, csum[-1] + iot - csum)
+        _, order1 = lax.sort((dest1, iot), num_keys=1)  # inverse, scatter-free
+    else:
+        dest1 = order1 = None
     # closed-form analytic pairs are answered inside the GJK kernel
     # (_closed_form_rows) and carried out via the kernel-final channel —
     # no XLA-side merge passes
-    sa = _pack_shapes(a, nb, block)
-    sb = _pack_shapes(b, nb, block)
+    sa = _pack_shapes(a, nb, block, order1)
+    sb = _pack_shapes(b, nb, block, order1)
     specs = (_vecspec(24, block), _vecspec(24, block))
 
     def gjk_wrap(sar, sbr, outr):
@@ -2209,36 +2119,33 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
 
     eb = min(block, 128)
 
-    # Shapes cascade: two capped+polished fast stages.  Every EPA lane is a
-    # smooth pair now (flat-flat combinations are closed-form final), so
-    # stage 1 runs the compact-visible kernel with the _SMOOTH_EPA_CAP
-    # iteration budget + polish; F=48 covers the face growth of a capped
-    # run (4 + 2*cap <= 48) so the only capacity exit left is the K=8
-    # visible-set bound — stage 2 re-runs those lanes at K=16.  The
-    # 48/88/208 tier ladder of round 2 existed to contain the 90-iteration
-    # cylinder-rim tail; the cap+polish removes the tail at its source.
-    # The hull pipeline keeps the generic _cascade_plan ladder (polytopal
-    # path, bit-identical reference semantics — no polish).
-    epa_kernels = []
+    # Shapes EPA: ONE kernel, two capped tiers + one polish.  Every EPA
+    # lane is a smooth pair now (flat-flat combinations are closed-form
+    # final), so the capped treatment applies to the whole kernel: the
+    # _SMOOTH_EPA_CAP iteration budget localizes the contact basin; F=48
+    # covers the face growth of a capped run (4 + 2*cap <= 48) so the only
+    # capacity exit left is the K=8 visible-set bound — the in-kernel K=16
+    # retry tier covers those lanes behind a scalar cond.  The 48/88/208
+    # ladder of round 2 existed to contain the 90-iteration cylinder-rim
+    # tail; the cap+polish removes the tail at its source.  The hull
+    # pipeline keeps the generic _cascade_plan ladder (polytopal path,
+    # bit-identical reference semantics — no polish).
+    epa_wrap = None
     if cfg.epa_max_iters > 0:
         rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
         cap = min(_SMOOTH_EPA_CAP, cfg.epa_max_iters)
         stage_f = rup(max(2 * cap + 10, 48))
         stage_cfg = cfg.replace(epa_max_iters=cap, epa_max_faces=stage_f)
+        stages = [(stage_cfg, 8), (stage_cfg, 16)]
 
-        def stage1_wrap(ginr, outr):
-            _epa_fast_kernel_shapes(ginr.at[0], outr.at[0], cfg=stage_cfg,
-                                    block=eb, k_vis=8)
+        def epa_wrap(ginr, outr):
+            _epa_cascade_kernel_shapes(ginr.at[0], outr.at[0], stages=stages,
+                                       block=eb)
 
-        def stage2_wrap(ginr, outr):
-            _epa_fast_kernel_shapes(ginr.at[0], outr.at[0], cfg=stage_cfg,
-                                    block=eb, k_vis=16,
-                                    promote_capacity=True)
-
-        epa_kernels = [stage1_wrap, stage2_wrap]
-    res = _run_two_phase(gjk_wrap, epa_kernels, (sa, sb), specs, bsz, block,
+    res = _run_two_phase(gjk_wrap, epa_wrap, (sa, sb), specs, bsz, block,
                          interpret, sort_hits, epa_block=eb,
-                         out_rows=_SHAPE_OUT_ROWS, geom_in_rows=True)
+                         out_rows=_SHAPE_OUT_ROWS, geom_in_rows=True,
+                         pre_dest=dest1)
     if bsz != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res
