@@ -310,12 +310,22 @@ def _gjk_phase(support, active, table_xyz, cfg: GJKEPAConfig, block):
     init_failed = pcoincide(s1, s2, eps)
 
     # --- v3 (ref :115-127) + origin-on-segment robustness fix ----------
+    # Scale-aware on-line test on the RAW rejection (not a zero test on the
+    # normalized vec_pl output): with the origin exactly on the s1-s2 line
+    # (identical shapes), FMA contraction leaves the foot a few ulps off
+    # zero and normalization turns that noise into a garbage direction
+    # whose support coincides with s2 -> false MISS_INIT (see ops/gjk.py,
+    # same fix).
     d3 = _vec_pl(zero, s1, s2, epz)
     seg = s2 - s1
+    segsq = pdot(seg, seg)
+    t3 = -pdot(s1, seg) / jnp.maximum(segsq, epz)
+    rej = P3(s1.x + t3 * seg.x, s1.y + t3 * seg.y, s1.z + t3 * seg.z)
+    on_line = pdot(rej, rej) <= (eps * eps) * (1.0 + segsq)
     alt = putz(pcross(seg, const_dir(0)), epz)
     alt2 = putz(pcross(seg, const_dir(1)), epz)
     alt = pwhere(pdot(alt, alt) > 0.0, alt, alt2)
-    d3 = pwhere(pdot(d3, d3) > 0.0, d3, alt)
+    d3 = pwhere((pdot(d3, d3) > 0.0) & ~on_line, d3, alt)
     s3 = support(d3)
     sep = sep_upd(sep, d3, s3, active)
     v3_degenerate = pcoincide(s3, s1, eps) | pcoincide(s3, s2, eps)

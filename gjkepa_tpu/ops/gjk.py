@@ -142,10 +142,23 @@ def run_gjk(support: Callable, cfg: GJKEPAConfig, dtype=jnp.float32,
     # ------------------------------------------------------------------
     d3 = vec_pl(zero3, jnp.stack([s1, s2]), cfg.eps_zero)
     seg = s2 - s1
+    # The on-line test must be SCALE-AWARE on the raw rejection, not a
+    # zero test on vec_pl's normalized output: when the origin sits on the
+    # s1-s2 line exactly (identical shapes), compiled-XLA FMA contraction
+    # leaves the foot a few ulps off zero, and utzvec then normalizes that
+    # noise into a full-magnitude garbage direction (measured: s3 landed
+    # ON s2 and the query misclassified as MISS_INIT under jit while the
+    # same float32 math passed eagerly).  Rejections below
+    # eps_coincide * line scale are treated as on-line -> perpendicular
+    # fallback; genuine rejections are orders of magnitude larger.
+    segsq = jnp.dot(seg, seg)
+    t3 = jnp.dot(-s1, seg) / jnp.maximum(segsq, cfg.eps_zero)
+    rej = s1 + t3 * seg                      # foot - origin, unnormalized
+    on_line = jnp.dot(rej, rej) <= (eps * eps) * (1.0 + segsq)
     alt = utzvec(cross3(seg, table[0]), cfg.eps_zero)
     alt = jnp.where(jnp.sum(alt * alt) > 0.0, alt,
                     utzvec(cross3(seg, table[1]), cfg.eps_zero))
-    d3 = jnp.where(jnp.sum(d3 * d3) > 0.0, d3, alt)
+    d3 = jnp.where((jnp.sum(d3 * d3) > 0.0) & ~on_line, d3, alt)
     r3 = support(d3)
     s3 = r3.w
     sep = _sep_bound(sep, d3, s3)

@@ -76,3 +76,31 @@ def test_sanitizer_accepts_scaled_ladder():
     res = checked_gjkepa_batch(jnp.asarray(c[None]), jnp.asarray(c[None]),
                                cfg=GJKEPAConfig.for_f32(scale=10.0))
     assert bool(res.hit[0])
+
+
+def test_identical_geometry_f32_jit_hits():
+    """Identical coincident shapes must HIT under f32 + jit.
+
+    Regression: with the origin exactly on the s1-s2 init segment
+    (symmetric Minkowski difference), compiled-XLA FMA contraction left
+    vec_pl's foot a few ulps off zero; normalizing that noise produced an
+    init direction whose support coincided with s2 and the query
+    misclassified as MISS_INIT (status 1) — under jit only, eager f32 was
+    fine.  The init phase now treats sub-eps_coincide rejections as
+    on-line and takes the perpendicular fallback (ops/gjk.py /
+    ops/fused.py v3 step)."""
+    from gjkepa_tpu.ops.fused import fused_gjkepa_hulls
+    from gjkepa_tpu.types import Status
+
+    c = cube([0.0, 0.0, 0.0]).astype(np.float32)
+    for cfg in (GJKEPAConfig(), GJKEPAConfig.for_f32()):
+        r = gjkepa_batch(jnp.asarray(c[None]), jnp.asarray(c[None]), cfg=cfg)
+        assert bool(r.hit[0]), int(r.status[0])
+        assert int(r.status[0]) == Status.HIT
+        assert float(r.depth[0]) == pytest.approx(1.0, abs=1e-5)
+    rf = fused_gjkepa_hulls(jnp.asarray(np.repeat(c[None], 8, 0)),
+                            jnp.asarray(np.repeat(c[None], 8, 0)),
+                            cfg=GJKEPAConfig.for_f32(), block=8,
+                            interpret=True)
+    assert bool(rf.hit[0]) and float(rf.depth[0]) == pytest.approx(1.0,
+                                                                   abs=1e-5)
