@@ -2027,16 +2027,12 @@ def _epa_cascade_kernel_shapes(gin_ref, out_ref, *, stages, block,
                    gin_ref)
 
 
-def _pack_shapes(batch, nb, block, order=None):
-    """ShapeBatch -> (nb, 24, block) f32 packed rows.
+def _pack_rows(batch):
+    """ShapeBatch -> (B, 24) f32 packed rows.
 
-    INPUT rows 0-15: kind, params, pos, rot; rows 16-23 zero padding
-    (sublane alignment).  Unrelated to the kernel OUTPUT row 16, which is
-    the closed-form "final" channel written by the GJK kernel.
-
-    `order` (optional (B,) int32 permutation): lane j takes pair order[j]'s
-    rows (a row GATHER — scatters cost 3x more on TPU) — used by the
-    GJK-lane grouping (see fused_gjkepa_shapes).
+    Rows 0-15: kind, params, pos, rot; rows 16-23 zero padding (sublane
+    alignment).  Unrelated to the kernel OUTPUT row 16, which is the
+    closed-form "final" channel written by the GJK kernel.
     """
     bsz = batch.kind.shape[0]
     kind = batch.kind.astype(jnp.float32)[:, None]
@@ -2044,13 +2040,26 @@ def _pack_shapes(batch, nb, block, order=None):
     pos = batch.pos.astype(jnp.float32)
     rot = batch.rot.astype(jnp.float32).reshape(-1, 9)
     pad = jnp.zeros((bsz, 8), jnp.float32)
-    packed = jnp.concatenate([kind, params, pos, rot, pad], axis=1)
+    return jnp.concatenate([kind, params, pos, rot, pad], axis=1)
+
+
+def _rows_to_lanes(rows, nb, block):
+    """(B, R) pair-major rows -> (nb, R, block) kernel blocks via ONE large
+    2-D transpose + leading-dim swap: the direct (nb, block, R) ->
+    (nb, R, block) form is a tiny-inner-dim 3-D transpose, which XLA:TPU
+    executes ~10x slower."""
+    R = rows.shape[1]
+    return jnp.swapaxes(rows.T.reshape(R, nb, block), 0, 1)
+
+
+def _pack_shapes(batch, nb, block, order=None):
+    """ShapeBatch -> (nb, 24, block) f32 packed rows (see _pack_rows);
+    `order` (optional (B,) int32 permutation) makes lane j take pair
+    order[j]'s rows (a row GATHER — scatters cost 3x more on TPU)."""
+    packed = _pack_rows(batch)
     if order is not None:
         packed = packed[order]
-    # one large 2-D transpose + leading-dim swap: the direct
-    # (nb, block, 24) -> (nb, 24, block) form is a tiny-inner-dim 3-D
-    # transpose, which XLA:TPU executes ~10x slower
-    return jnp.swapaxes(packed.T.reshape(24, nb, block), 0, 1)
+    return _rows_to_lanes(packed, nb, block)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret",
@@ -2118,9 +2127,15 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
         dest1 = order1 = None
     # closed-form analytic pairs are answered inside the GJK kernel
     # (_closed_form_rows) and carried out via the kernel-final channel —
-    # no XLA-side merge passes
-    sa = _pack_shapes(a, nb, block, order1)
-    sb = _pack_shapes(b, nb, block, order1)
+    # no XLA-side merge passes.  Both sides' packed rows ride ONE gather
+    # and ONE transpose (row gathers are index-rate bound: (B, 48) costs
+    # the same as (B, 24)).
+    rows = jnp.concatenate([_pack_rows(a), _pack_rows(b)], axis=1)
+    if order1 is not None:
+        rows = rows[order1]
+    rows_t = rows.T                                  # one (48, B) transpose
+    sa = jnp.swapaxes(rows_t[:24].reshape(24, nb, block), 0, 1)
+    sb = jnp.swapaxes(rows_t[24:].reshape(24, nb, block), 0, 1)
     specs = (_vecspec(24, block), _vecspec(24, block))
 
     def gjk_wrap(sar, sbr, outr):
