@@ -1299,18 +1299,54 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
     gin = jnp.swapaxes(g_perm.reshape(enb, eb, out_rows), 1, 2)
 
     epa_in_specs = ([] if geom_in_rows else list(epa_geom_specs))
-    eout = pl.pallas_call(
-        epa_kernel,
-        grid=(enb,),
-        out_shape=jax.ShapeDtypeStruct((enb, 8, eb), jnp.float32),
-        in_specs=epa_in_specs + [_vecspec(out_rows, eb)],
-        out_specs=_vecspec(8, eb),
-        scratch_shapes=scratch_shapes or [],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*geom_p, gin)
-    eflat_p = jnp.swapaxes(eout, 1, 2).reshape(b, 8)         # permuted space
+
+    def epa_pass(gin_i, geom_i):
+        blocks = gin_i.shape[0]
+        eo = pl.pallas_call(
+            epa_kernel,
+            grid=(blocks,),
+            out_shape=jax.ShapeDtypeStruct((blocks, 8, eb), jnp.float32),
+            in_specs=epa_in_specs + [_vecspec(out_rows, eb)],
+            out_specs=_vecspec(8, eb),
+            scratch_shapes=scratch_shapes or [],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*geom_i, gin_i)
+        return jnp.swapaxes(eo, 1, 2).reshape(blocks * eb, 8)
+
+    def passthrough_rows(g):
+        # XLA twin of _write_epa_out's inactive-lane merge (bit-identical
+        # selects): closed-form-final lanes carry rows 17-20, misses carry
+        # zeros + the GJK status (row 1).
+        fin = g[:, 16] > 0.5
+        z = jnp.zeros((g.shape[0],), jnp.float32)
+        return jnp.stack(
+            [jnp.where(fin, g[:, 17], 0.0), jnp.where(fin, g[:, 18], 0.0),
+             jnp.where(fin, g[:, 19], 0.0), jnp.where(fin, g[:, 20], 0.0),
+             z, g[:, 1], z, z], axis=1)
+
+    # Compact EPA dispatch: after the hit-compaction every EPA-active lane
+    # sits in the first n_act lanes, so the pallas pass only needs to scan
+    # the first C = b/8 lanes — 8x less inactive-program floor and gin DMA.
+    # The rare dense-contact batch (n_act > C) falls back to the full-width
+    # pass behind a scalar lax.cond; the inactive tail's output rows are
+    # reproduced by an XLA select twin of the kernel's passthrough.
+    # (Streamed large-N path keeps the full-width pass: its ANY-space hull
+    # operands are shared by all programs and the floor is already small.)
+    C = max(eb, (b // 8) // eb * eb)
+    if sort_hits and C < b and not scratch_shapes:
+        cblk = C // eb
+        eflat_c = epa_pass(gin[:cblk], tuple(a[:cblk] for a in geom_p))
+        n_act = c[-1]
+        eflat_tail = lax.cond(
+            n_act > C,
+            lambda _: epa_pass(gin, geom_p)[C:],
+            lambda _: passthrough_rows(g_perm[C:]),
+            None)
+        eflat_p = jnp.concatenate([eflat_c, eflat_tail], axis=0)
+    else:
+        eflat_p = epa_pass(gin, geom_p)                      # permuted space
     # back to the CALLER's order: chained f32 ROW gathers (compacted ->
     # grouped -> natural) — composing the two index maps first would itself
     # be a 1-D s32 gather, which costs 4x more than the row gathers (64k
