@@ -247,6 +247,26 @@ def main():
         f"(hit fraction {hit_frac:.2f}, mean EPA iters "
         f"{float(jnp.mean(r4.epa_iters.astype(jnp.float32))):.1f})")
 
+    # config 4 also names contact manifolds (BASELINE.json): full-surface
+    # query + up-to-4-point manifolds on every deep pair, end to end.
+    from gjkepa_tpu import manifold_batch
+    from gjkepa_tpu.api import gjkepa_batch_fused
+
+    @jax.jit
+    def deep_manifolds(a4, b4):
+        r = gjkepa_batch_fused(a4, b4, cfg=cfg, block=512)
+        return manifold_batch(a4, b4, r.normal, r.depth, r.hit,
+                              r.contact_point, cfg=cfg)
+
+    t4m = timeit(lambda: deep_manifolds(p41, p42),
+                 lambda m: m.depths, warmup=20, k0=2)
+    m4 = deep_manifolds(p41, p42)
+    pts_per_hit = float(jnp.sum(m4.mask)) / max(
+        float(jnp.sum(r4.hit.astype(jnp.float32))), 1.0)
+    results["c4_manifold_qps"] = B4 / t4m
+    log(f"config4 16k manifolds (full surface + clip): {B4/t4m/1e6:.3f}M q/s "
+        f"({pts_per_hit:.2f} contact points/hit)")
+
     # ---- config 6: fused path sharded over the device mesh ------------------
     # (per-chip throughput; on a multi-chip host the pair axis shards over
     # ICI with zero collectives — SURVEY §2.4.  This box has 1 chip.)
@@ -278,6 +298,21 @@ def main():
     maybe_profile("c5_sim1024", lambda: steps10(state), lambda s: s.pos, calls=2)
     results["c5_sim1024_steps_per_sec"] = 1.0 / t5
     log(f"config5 1024-box sim: {1.0/t5:.1f} steps/s")
+
+    # 16k-body scaling check (VERDICT round-2 item 5: the sweep-and-prune
+    # broadphase must keep the sim sub-quadratic at 16k bodies)
+    state16 = init_boxes(16384, height=8.0, spread=55.0)
+    scfg16 = SimConfig(max_pairs=65536)
+
+    def steps3(s):
+        for _ in range(3):
+            s, _ = sim_step(s, scfg16)
+        return s
+
+    t5b = timeit(lambda: steps3(state16), lambda s: s.pos,
+                 warmup=4, k0=1, kmax=512) / 3
+    results["c5_sim16k_steps_per_sec"] = 1.0 / t5b
+    log(f"config5b 16384-box sim: {1.0/t5b:.1f} steps/s")
 
     headline = results["c3_analytic64k_qps"]
     out = {

@@ -1341,7 +1341,8 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
         n_act = c[-1]
         eflat_tail = lax.cond(
             n_act > C,
-            lambda _: epa_pass(gin, geom_p)[C:],
+            lambda _: epa_pass(gin[cblk:],                   # tail blocks only
+                               tuple(a[cblk:] for a in geom_p)),
             lambda _: passthrough_rows(g_perm[C:]),
             None)
         eflat_p = jnp.concatenate([eflat_c, eflat_tail], axis=0)

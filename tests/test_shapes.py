@@ -238,3 +238,41 @@ def test_fuzz_mixed_kind_pairs_fused_vs_xla(rng):
         np.testing.assert_allclose(
             df[m1], dx[m1], atol=5e-3,
             err_msg=f"seed {seed}: depth diverges on polished EPA lanes")
+
+
+def test_fused_shapes_order_invariance(rng):
+    """The GJK-lane grouping must make results (and, on hardware,
+    throughput) independent of the caller's pair order: a shuffled batch
+    must return exactly the shuffled results of the natural batch."""
+    from gjkepa_tpu import GJKEPAConfig
+    from gjkepa_tpu.models.shapes import (boxes, capsules, concat_shapes,
+                                          cylinders, spheres)
+    from gjkepa_tpu.ops.fused import fused_gjkepa_shapes
+
+    cfg = GJKEPAConfig.for_f32()
+    q = 32
+    pos = lambda: jnp.asarray(  # noqa: E731
+        rng.normal(size=(q, 3)).astype(np.float32) * 1.1)
+    mk = lambda: concat_shapes(  # noqa: E731
+        spheres(jnp.asarray(0.4 + 0.4 * rng.random(q).astype(np.float32)),
+                pos=pos()),
+        boxes(jnp.asarray(0.3 + 0.4 * rng.random((q, 3)).astype(np.float32)),
+              pos=pos()),
+        capsules(jnp.asarray(0.2 + 0.2 * rng.random(q).astype(np.float32)),
+                 jnp.asarray(0.3 + 0.3 * rng.random(q).astype(np.float32)),
+                 pos=pos()),
+        cylinders(jnp.asarray(0.2 + 0.3 * rng.random(q).astype(np.float32)),
+                  jnp.asarray(0.3 + 0.3 * rng.random(q).astype(np.float32)),
+                  pos=pos()),
+    )
+    a, b = mk(), mk()
+    base = fused_gjkepa_shapes(a, b, cfg=cfg, block=128, interpret=True)
+    perm = rng.permutation(4 * q)
+    sh = lambda s: type(s)(kind=s.kind[perm], params=s.params[perm],  # noqa
+                           pos=s.pos[perm], rot=s.rot[perm])
+    shuf = fused_gjkepa_shapes(sh(a), sh(b), cfg=cfg, block=128,
+                               interpret=True)
+    for field in base._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(base, field))[perm],
+                                      np.asarray(getattr(shuf, field)),
+                                      err_msg=field)
