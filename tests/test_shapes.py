@@ -276,3 +276,53 @@ def test_fused_shapes_order_invariance(rng):
         np.testing.assert_array_equal(np.asarray(getattr(base, field))[perm],
                                       np.asarray(getattr(shuf, field)),
                                       err_msg=field)
+
+
+def test_cylinder_verdict_audit_vs_separating_axis(rng):
+    """Independent hit-verdict audit for the one kind pair with no closed
+    form (cylinder-cylinder, the GJK/EPA path): a pair is disjoint iff some
+    unit direction d has positive Minkowski support h(d) = <s_A(d)-s_B(-d),
+    d>.  Dense direction sampling (2048 dirs) gives a one-sided certificate
+    each way: min_d h(d) < -tol proves separation (a fused hit there is a
+    FALSE hit — this caught the center-to-center init experiment producing
+    ~800 false touching-contact hits per 64k, docs/DESIGN.md round-3
+    lesson 9); min_d h(d) > +tol over all samples makes a miss suspect."""
+    from gjkepa_tpu import GJKEPAConfig
+    from gjkepa_tpu.models.shapes import cylinders
+    from gjkepa_tpu.ops.fused import fused_gjkepa_shapes
+
+    cfg = GJKEPAConfig.for_f32()
+    n = 64
+    mk = lambda: cylinders(  # noqa: E731
+        jnp.asarray(0.2 + 0.3 * rng.random(n).astype(np.float32)),
+        jnp.asarray(0.3 + 0.3 * rng.random(n).astype(np.float32)),
+        pos=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.9))
+    a, b = mk(), mk()
+    r = fused_gjkepa_shapes(a, b, cfg=cfg, block=64, interpret=True)
+
+    dirs = rng.normal(size=(2048, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    def support_all(params, pos, rot, d):       # (D,3) dirs x (n,) shapes
+        dl = np.einsum("nij,di->dnj", np.asarray(rot), d)      # R^T d
+        nxy = np.hypot(dl[..., 0], dl[..., 1])
+        safe = np.where(nxy > 1e-12, nxy, 1.0)
+        r_ = np.asarray(params)[:, 0]
+        h_ = np.asarray(params)[:, 1]
+        sx = np.where(nxy > 1e-12, r_ * dl[..., 0] / safe, 0.0)
+        sy = np.where(nxy > 1e-12, r_ * dl[..., 1] / safe, 0.0)
+        sz = np.where(dl[..., 2] >= 0, h_, -h_)
+        s_local = np.stack([sx, sy, sz], axis=-1)              # (D, n, 3)
+        return np.einsum("nji,dni->dnj", np.asarray(rot),
+                         s_local) + np.asarray(pos)[None]
+
+    sa = support_all(a.params, a.pos, a.rot, dirs)
+    sb = support_all(b.params, b.pos, b.rot, -dirs)
+    h = np.einsum("dnj,dj->dn", sa - sb, dirs)                 # (D, n)
+    min_h = h.min(axis=0)
+
+    hit = np.asarray(r.hit)
+    false_hits = hit & (min_h < -1e-4)
+    missed = ~hit & (min_h > 1e-4)
+    assert not false_hits.any(), np.nonzero(false_hits)
+    assert not missed.any(), np.nonzero(missed)
