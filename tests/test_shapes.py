@@ -278,51 +278,87 @@ def test_fused_shapes_order_invariance(rng):
                                       err_msg=field)
 
 
-def test_cylinder_verdict_audit_vs_separating_axis(rng):
-    """Independent hit-verdict audit for the one kind pair with no closed
-    form (cylinder-cylinder, the GJK/EPA path): a pair is disjoint iff some
-    unit direction d has positive Minkowski support h(d) = <s_A(d)-s_B(-d),
-    d>.  Dense direction sampling (2048 dirs) gives a one-sided certificate
-    each way: min_d h(d) < -tol proves separation (a fused hit there is a
-    FALSE hit — this caught the center-to-center init experiment producing
-    ~800 false touching-contact hits per 64k, docs/DESIGN.md round-3
-    lesson 9); min_d h(d) > +tol over all samples makes a miss suspect."""
+def _np_shape_support(kind, params, pos, rot, d):
+    """Vectorized numpy support of one shape batch: (D, 3) dirs x (n,)
+    shapes -> (D, n, 3) world support points.  Independent re-derivation of
+    the kernel's closed-form supports (box/capsule/cylinder) used as the
+    audit oracle."""
+    dl = np.einsum("nij,di->dnj", np.asarray(rot), d)          # R^T d
+    p = np.asarray(params)
+    k = int(kind)
+    if k == 1:                                                 # box
+        s_local = np.where(dl >= 0, p[None, :, :3], -p[None, :, :3])
+    else:
+        nxy = np.hypot(dl[..., 0], dl[..., 1])
+        safe = np.where(nxy > 1e-12, nxy, 1.0)
+        if k == 2:                                             # capsule
+            nrm = np.linalg.norm(dl, axis=-1)
+            nsafe = np.where(nrm > 1e-12, nrm, 1.0)
+            core = p[None, :, 0:1] * dl / nsafe[..., None]
+            cap = np.where(dl[..., 2] >= 0, p[None, :, 1], -p[None, :, 1])
+            s_local = core + np.stack(
+                [np.zeros_like(cap), np.zeros_like(cap), cap], axis=-1)
+        else:                                                  # cylinder
+            sx = np.where(nxy > 1e-12, p[None, :, 0] * dl[..., 0] / safe, 0.0)
+            sy = np.where(nxy > 1e-12, p[None, :, 0] * dl[..., 1] / safe, 0.0)
+            sz = np.where(dl[..., 2] >= 0, p[None, :, 1], -p[None, :, 1])
+            s_local = np.stack([sx, sy, sz], axis=-1)
+    return np.einsum("nji,dni->dnj", np.asarray(rot),
+                     s_local) + np.asarray(pos)[None]
+
+
+@pytest.mark.parametrize("ka,kb", [(3, 3), (1, 3), (3, 1), (2, 3), (3, 2),
+                                   (1, 2), (2, 1)])
+def test_verdict_audit_vs_separating_axis(rng, ka, kb):
+    """Independent hit-verdict audit for every kind pair WITHOUT a closed
+    form (the GJK/EPA path): a pair is disjoint iff some unit direction d
+    has positive Minkowski support h(d) = <s_A(d)-s_B(-d), d>.  Dense
+    direction sampling (2048 dirs) gives a one-sided certificate each way:
+    min_d h(d) < -tol proves separation (a fused hit there is a FALSE hit
+    — this caught the center-to-center init experiment producing ~800
+    false touching-contact hits per 64k, docs/DESIGN.md round-3 lesson 9);
+    min_d h(d) > margin over all samples makes a miss suspect — the
+    margin must account for sampling density: for nearly-touching convex
+    bodies the separating cone is arbitrarily narrow, so h can dip below
+    zero between samples by ~R * (sample spacing); with 2048 dirs
+    (~4 degrees apart) and objects of scale ~1 the sound margin is ~0.15
+    (a first version used 1e-4 and flagged a correctly-separated
+    box-capsule pair with a 0.02 gap as a "missed hit")."""
     from gjkepa_tpu import GJKEPAConfig
-    from gjkepa_tpu.models.shapes import cylinders
+    from gjkepa_tpu.models.shapes import boxes, capsules, cylinders
     from gjkepa_tpu.ops.fused import fused_gjkepa_shapes
 
     cfg = GJKEPAConfig.for_f32()
     n = 64
-    mk = lambda: cylinders(  # noqa: E731
-        jnp.asarray(0.2 + 0.3 * rng.random(n).astype(np.float32)),
-        jnp.asarray(0.3 + 0.3 * rng.random(n).astype(np.float32)),
-        pos=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.9))
-    a, b = mk(), mk()
+
+    def mk(kind):
+        pos = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.9)
+        if kind == 1:
+            return boxes(jnp.asarray(
+                (0.25 + 0.35 * rng.random((n, 3))).astype(np.float32)),
+                pos=pos)
+        if kind == 2:
+            return capsules(
+                jnp.asarray((0.2 + 0.2 * rng.random(n)).astype(np.float32)),
+                jnp.asarray((0.3 + 0.3 * rng.random(n)).astype(np.float32)),
+                pos=pos)
+        return cylinders(
+            jnp.asarray((0.2 + 0.3 * rng.random(n)).astype(np.float32)),
+            jnp.asarray((0.3 + 0.3 * rng.random(n)).astype(np.float32)),
+            pos=pos)
+
+    a, b = mk(ka), mk(kb)
     r = fused_gjkepa_shapes(a, b, cfg=cfg, block=64, interpret=True)
 
     dirs = rng.normal(size=(2048, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-
-    def support_all(params, pos, rot, d):       # (D,3) dirs x (n,) shapes
-        dl = np.einsum("nij,di->dnj", np.asarray(rot), d)      # R^T d
-        nxy = np.hypot(dl[..., 0], dl[..., 1])
-        safe = np.where(nxy > 1e-12, nxy, 1.0)
-        r_ = np.asarray(params)[:, 0]
-        h_ = np.asarray(params)[:, 1]
-        sx = np.where(nxy > 1e-12, r_ * dl[..., 0] / safe, 0.0)
-        sy = np.where(nxy > 1e-12, r_ * dl[..., 1] / safe, 0.0)
-        sz = np.where(dl[..., 2] >= 0, h_, -h_)
-        s_local = np.stack([sx, sy, sz], axis=-1)              # (D, n, 3)
-        return np.einsum("nji,dni->dnj", np.asarray(rot),
-                         s_local) + np.asarray(pos)[None]
-
-    sa = support_all(a.params, a.pos, a.rot, dirs)
-    sb = support_all(b.params, b.pos, b.rot, -dirs)
+    sa = _np_shape_support(ka, a.params, a.pos, a.rot, dirs)
+    sb = _np_shape_support(kb, b.params, b.pos, b.rot, -dirs)
     h = np.einsum("dnj,dj->dn", sa - sb, dirs)                 # (D, n)
     min_h = h.min(axis=0)
 
     hit = np.asarray(r.hit)
-    false_hits = hit & (min_h < -1e-4)
-    missed = ~hit & (min_h > 1e-4)
+    false_hits = hit & (min_h < -1e-4)     # sampled separating axis: sound
+    missed = ~hit & (min_h > 0.15)         # sampling-aware margin (above)
     assert not false_hits.any(), np.nonzero(false_hits)
     assert not missed.any(), np.nonzero(missed)
