@@ -229,6 +229,28 @@ def main():
     results["c3_shuffled_qps"] = B3 / t3s
     log(f"config3 64k shuffled order: {B3/t3s/1e6:.2f}M q/s")
 
+    # mixed hull-vs-analytic-shape fused path (capability extension —
+    # the reference is cloud-vs-cloud only; round 3 moved this from the
+    # vmapped XLA path, 0.01M q/s, into the fused kernels)
+    from gjkepa_tpu.ops.fused import fused_gjkepa_hull_shapes
+    B3b, N3b = 16384, 24
+    hulls_m = jnp.asarray(random_hulls(rng, B3b, N3b))
+    qm = B3b // 4
+    posm = lambda: rng.normal(size=(qm, 3)).astype(np.float32) * 0.8  # noqa
+    shm = concat_shapes(
+        spheres(0.3 + 0.4 * rng.random(qm).astype(np.float32), pos=posm()),
+        boxes(0.25 + 0.3 * rng.random((qm, 3)).astype(np.float32), pos=posm()),
+        capsules(0.2 + 0.2 * rng.random(qm).astype(np.float32),
+                 0.25 + 0.25 * rng.random(qm).astype(np.float32), pos=posm()),
+        cylinders(0.2 + 0.25 * rng.random(qm).astype(np.float32),
+                  0.25 + 0.25 * rng.random(qm).astype(np.float32), pos=posm()),
+    )
+    t3b = timeit(lambda: fused_gjkepa_hull_shapes(hulls_m, shm, cfg=cfg,
+                                                  block=512),
+                 lambda r: r.depth, warmup=25, k0=2)
+    results["c3_mixed_hull_shape_qps"] = B3b / t3b
+    log(f"config3b 16k mixed hull-vs-shape (fused): {B3b/t3b/1e6:.2f}M q/s")
+
     # ---- config 4: 16k deep-penetration pairs, full EPA --------------------
     B4, N4 = 16384, 24
     big = random_hulls(rng, B4, N4, spread=0.0) * 2.0

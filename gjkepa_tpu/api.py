@@ -27,10 +27,10 @@ import jax.numpy as jnp
 from .config import DEFAULT_CONFIG, GJKEPAConfig
 from .ops import broadphase, contact
 from .ops.distance import gjk_distance
-from .ops.epa import run_epa
+from .ops.epa import polish_support_descent, run_epa
 from .ops.gjk import run_gjk
 from .ops.support import make_hull_support
-from .types import CollisionResult
+from .types import CollisionResult, Status
 
 __all__ = ["gjkepa", "gjkepa_batch", "gjkepa_batch_fused", "collide_supports",
            "collide_shapes_batch", "collide_hull_shape_batch",
@@ -151,6 +151,7 @@ def collide_supports(
     cfg: GJKEPAConfig = DEFAULT_CONFIG,
     dtype=jnp.float32,
     active: jnp.ndarray | bool = True,
+    hint: jnp.ndarray | None = None,
 ) -> CollisionResult:
     """Narrow-phase over an arbitrary Minkowski support callable.
 
@@ -159,10 +160,33 @@ def collide_supports(
     handles vertex clouds).  Contact point falls back to the midpoint of the
     EPA witness points (no vertex sets exist to run the version-1/2/3 case
     trees on); contact type is 1 on hit.
+
+    `hint` (optional (3,) vector, need not be unit): a second descent start
+    for the depth polish, typically the center-to-center direction —
+    the descent is local, and an iteration-capped EPA direction on a DEEP
+    smooth contact can sit in the wrong basin (measured 1.11 vs 0.59 exact
+    on hull-vs-sphere); the center line is a natural global candidate
+    there.  The better of the two descents wins.
     """
     g = run_gjk(support, cfg, dtype=dtype, active=active)
     e = run_epa(support, g.simplex, g.hit, cfg)
-    s = support(e.normal)
+    # Closed-form supports are exact, so the fixed-cost support-function
+    # descent sharpens EPA's polyhedral depth/normal (the same treatment
+    # the fused shapes path applies): converged f32 EPA leaves ~1e-3*R on
+    # smooth surfaces, and iteration-capped deep smooth contacts can be
+    # arbitrarily wrong (measured -0.06 vs 0.59 exact on hull-vs-sphere).
+    depth, normal = polish_support_descent(support, e.depth, e.normal, g.hit)
+    if hint is not None:
+        hnorm = jnp.linalg.norm(hint)
+        hunit = hint / jnp.maximum(hnorm, 1e-20)
+        d2, n2 = polish_support_descent(support, depth, hunit,
+                                        g.hit & (hnorm > 1e-9))
+        better = g.hit & (d2 < depth)
+        depth = jnp.where(better, d2, depth)
+        normal = jnp.where(better, n2, normal)
+    ok = g.hit & (jnp.linalg.norm(normal) > 0.5)
+    status = jnp.where(ok, jnp.int32(Status.HIT), e.status)
+    s = support(normal)
     npts = jnp.stack([s.a, s.b])
     cpoint = 0.5 * (s.a + s.b)
     hit = g.hit
@@ -171,11 +195,11 @@ def collide_supports(
         hit=hit,
         colli_type=jnp.where(hit, jnp.int32(1), jnp.int32(0)),
         nearest_points=jnp.where(hit, npts, zeros["nearest_points"]),
-        normal=jnp.where(hit, e.normal, zeros["normal"]),
+        normal=jnp.where(hit, normal, zeros["normal"]),
         contact_point=jnp.where(hit, cpoint, zeros["contact_point"]),
-        depth=jnp.where(hit, e.depth, zeros["depth"]),
+        depth=jnp.where(hit, depth, zeros["depth"]),
         distance=g.sep_lb,
-        status=jnp.where(hit, e.status, g.status),
+        status=jnp.where(hit, status, g.status),
         gjk_iters=g.iters,
         epa_iters=e.iters,
     )
@@ -197,7 +221,7 @@ def collide_shapes_batch(a, b, cfg: GJKEPAConfig = DEFAULT_CONFIG,
 
     def one(ka, pa, xa, ra, kb, pb, xb, rb):
         sup = make_shape_pair_support(ka, pa, xa, ra, kb, pb, xb, rb)
-        return collide_supports(sup, cfg=cfg, dtype=dtype)
+        return collide_supports(sup, cfg=cfg, dtype=dtype, hint=xb - xa)
 
     args = (a.kind, a.params, a.pos, a.rot, b.kind, b.params, b.pos, b.rot)
     if chunk_size is None:
@@ -350,7 +374,11 @@ def collide_hull_shape_batch(
             b = shape_support_world(k, prm, pos, rot, -d)
             return SupportResult(a - b, a, b)
 
-        return collide_supports(support, cfg=cfg, dtype=dtype)
+        centroid = (jnp.mean(verts, axis=0) if m is None
+                    else jnp.sum(jnp.where(m[:, None], verts, 0.0), axis=0)
+                    / jnp.maximum(jnp.sum(m), 1))
+        return collide_supports(support, cfg=cfg, dtype=dtype,
+                                hint=pos - centroid)
 
     args = (p1, mask1, shapes.kind, shapes.params, shapes.pos, shapes.rot)
     if chunk_size is None:

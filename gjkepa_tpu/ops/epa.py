@@ -208,3 +208,56 @@ def run_epa(
     normal = jnp.where(active, out["normal"], 0.0)
     status = jnp.where(active, out["status"], jnp.int32(0))
     return EPAResult(depth=depth, normal=normal, iters=out["iter"], status=status)
+
+
+def polish_support_descent(support, depth, normal, ok,
+                           rounds: int = 6, spread: float = 0.45,
+                           shrink: float = 1.0 / 3.0):
+    """Fixed-cost refinement of (depth, normal) for exact support maps —
+    the XLA twin of ops.fused._polish_direction (see its docstring for the
+    math: penetration depth = min over unit d of h(d) = <support(d), d>,
+    and a 3x3 tangent-grid descent from the EPA direction reaches it to
+    ~R*1e-6 where converged f32 EPA on smooth shapes stalls at ~1e-3*R —
+    or far worse when the iteration cap bites on deep smooth contacts:
+    measured -0.06 reported vs 0.59 exact on a deep hull-sphere pair).
+
+    Single-query form (3-vectors); callers vmap it.  `support(d)` must
+    return an object whose `.w` is the Minkowski support point (the
+    SupportResult convention).  Lanes with ~ok (miss, or zero normal) pass
+    through unchanged."""
+    nrm = jnp.linalg.norm(normal)
+    ok = ok & (nrm > 0.5)
+    small_x = jnp.abs(normal[0]) < 0.9
+    helper = jnp.where(small_x, jnp.array([1.0, 0.0, 0.0], normal.dtype),
+                       jnp.array([0.0, 1.0, 0.0], normal.dtype))
+    u = jnp.cross(normal, helper)
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-20)
+    v = jnp.cross(normal, u)
+
+    def h_at(a, b):
+        inv = 1.0 / jnp.sqrt(1.0 + a * a + b * b)
+        d = (normal + a * u + b * v) * inv
+        return jnp.dot(support(d).w, d), d
+
+    best_h, _ = h_at(jnp.asarray(0.0, normal.dtype),
+                     jnp.asarray(0.0, normal.dtype))
+
+    def body(r, c):
+        best_h, a0, b0, s = c
+        k = r % 8
+        k2 = k + jnp.where(k >= 4, 1, 0)
+        da = (k2 // 3 - 1).astype(normal.dtype)
+        db = (k2 % 3 - 1).astype(normal.dtype)
+        aa, bb = a0 + da * s, b0 + db * s
+        hh, _ = h_at(aa, bb)
+        better = ok & (hh < best_h)
+        return (jnp.where(better, hh, best_h), jnp.where(better, aa, a0),
+                jnp.where(better, bb, b0),
+                jnp.where(k == 7, s * shrink, s))
+
+    z = jnp.asarray(0.0, normal.dtype)
+    best_h, a0, b0, _ = lax.fori_loop(
+        0, 8 * rounds, body, (best_h, z, z, jnp.asarray(spread,
+                                                        normal.dtype)))
+    _, d_best = h_at(a0, b0)
+    return jnp.where(ok, best_h, depth), jnp.where(ok, d_best, normal)

@@ -42,7 +42,8 @@ from ..types import Status
 from .directions import DIRECTION_TABLE
 
 __all__ = ["fused_gjkepa_hulls", "fused_gjkepa_shapes",
-           "fused_gjk_distance_hulls", "FusedResult"]
+           "fused_gjkepa_hull_shapes", "fused_gjk_distance_hulls",
+           "FusedResult"]
 
 _RUNNING = -1
 
@@ -1180,7 +1181,7 @@ def _vecspec(rows, block):
 def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
                    interpret, sort_hits, epa_block=None, epa_geom_specs=None,
                    out_rows=24, geom_in_rows=False, scratch_shapes=None,
-                   pre_dest=None):
+                   pre_dest=None, epa_geom_arrays=None):
     """Shared two-phase driver.
 
     Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
@@ -1291,8 +1292,12 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
     # needs ONE permuted gather of gflat instead of one per geometry array
     # — this killed ~40% of the inter-phase XLA glue on the 64k analytic
     # workload (the geometry permutes were reshape+gather+reshape each).
+    # `epa_geom_arrays`: the EPA phase may need only a SUBSET of the GJK
+    # geometry (mixed hull-shape path: the shape rows ride in the gin rows,
+    # only the hull buffer is re-permuted).
+    geom_src = geom_arrays if epa_geom_arrays is None else epa_geom_arrays
     geom_p = (() if geom_in_rows
-              else tuple(permute_geom(a) for a in geom_arrays))
+              else tuple(permute_geom(a) for a in geom_src))
     # EPA activity (hit & ~final, rows 0/16) is recomputed from the
     # permuted rows INSIDE the kernel (_epa_act) — no XLA-side row rewrite.
     g_perm = gflat[order]
@@ -1583,57 +1588,64 @@ def fused_gjkepa_hulls(p1, p2, mask1=None, mask2=None,
 # ---------------------------------------------------------------------------
 
 
+def _shape_support_side(s, d: P3) -> P3:
+    """World support point of one packed analytic shape block (16, BLOCK)
+    along per-lane directions d."""
+    kind = s[0:1, :]
+    p0, p1, p2 = s[1:2, :], s[2:3, :], s[3:4, :]
+    tx, ty, tz = s[4:5, :], s[5:6, :], s[6:7, :]
+    r00, r01, r02 = s[7:8, :], s[8:9, :], s[9:10, :]
+    r10, r11, r12 = s[10:11, :], s[11:12, :], s[12:13, :]
+    r20, r21, r22 = s[13:14, :], s[14:15, :], s[15:16, :]
+    # d_local = R^T d
+    dl = P3(r00 * d.x + r10 * d.y + r20 * d.z,
+            r01 * d.x + r11 * d.y + r21 * d.z,
+            r02 * d.x + r12 * d.y + r22 * d.z)
+    # sphere: radius p0 * unit(dl)
+    n = pnorm(dl)
+    inv = jnp.where(n > 1e-20, 1.0 / jnp.where(n > 1e-20, n, 1.0), 0.0)
+    sph = pscale(dl, inv * p0)
+    # box: sign(dl) * half extents (p0,p1,p2)
+    box = P3(jnp.where(dl.x >= 0.0, p0, -p0),
+             jnp.where(dl.y >= 0.0, p1, -p1),
+             jnp.where(dl.z >= 0.0, p2, -p2))
+    # capsule: radius p0 * unit(dl) + (0,0,+-p1)
+    cap_end = jnp.where(dl.z >= 0.0, p1, -p1)
+    cap = P3(sph.x, sph.y, sph.z + cap_end)
+    # cylinder: rim p0*unit(dl.xy) + (0,0,+-p1)
+    np_ = jnp.sqrt(dl.x * dl.x + dl.y * dl.y)
+    invp = jnp.where(np_ > 1e-20, 1.0 / jnp.where(np_ > 1e-20, np_, 1.0), 0.0)
+    cyl = P3(p0 * dl.x * invp, p0 * dl.y * invp, cap_end)
+    # select by kind (0 sphere, 1 box, 2 capsule, 3 cylinder)
+    sl = pwhere(kind < 0.5, sph,
+                pwhere(kind < 1.5, box,
+                       pwhere(kind < 2.5, cap, cyl)))
+    # world = R s + t
+    return P3(r00 * sl.x + r01 * sl.y + r02 * sl.z + tx,
+              r10 * sl.x + r11 * sl.y + r12 * sl.z + ty,
+              r20 * sl.x + r21 * sl.y + r22 * sl.z + tz)
+
+
 def _make_shape_support(sa, sb):
     """Minkowski support over two packed analytic shape blocks (16, BLOCK)."""
 
-    def one_side(s, d: P3):
-        kind = s[0:1, :]
-        p0, p1, p2 = s[1:2, :], s[2:3, :], s[3:4, :]
-        tx, ty, tz = s[4:5, :], s[5:6, :], s[6:7, :]
-        r00, r01, r02 = s[7:8, :], s[8:9, :], s[9:10, :]
-        r10, r11, r12 = s[10:11, :], s[11:12, :], s[12:13, :]
-        r20, r21, r22 = s[13:14, :], s[14:15, :], s[15:16, :]
-        # d_local = R^T d
-        dl = P3(r00 * d.x + r10 * d.y + r20 * d.z,
-                r01 * d.x + r11 * d.y + r21 * d.z,
-                r02 * d.x + r12 * d.y + r22 * d.z)
-        # sphere: radius p0 * unit(dl)
-        n = pnorm(dl)
-        inv = jnp.where(n > 1e-20, 1.0 / jnp.where(n > 1e-20, n, 1.0), 0.0)
-        sph = pscale(dl, inv * p0)
-        # box: sign(dl) * half extents (p0,p1,p2)
-        box = P3(jnp.where(dl.x >= 0.0, p0, -p0),
-                 jnp.where(dl.y >= 0.0, p1, -p1),
-                 jnp.where(dl.z >= 0.0, p2, -p2))
-        # capsule: radius p0 * unit(dl) + (0,0,+-p1)
-        cap_end = jnp.where(dl.z >= 0.0, p1, -p1)
-        cap = P3(sph.x, sph.y, sph.z + cap_end)
-        # cylinder: rim p0*unit(dl.xy) + (0,0,+-p1)
-        np_ = jnp.sqrt(dl.x * dl.x + dl.y * dl.y)
-        invp = jnp.where(np_ > 1e-20, 1.0 / jnp.where(np_ > 1e-20, np_, 1.0), 0.0)
-        cyl = P3(p0 * dl.x * invp, p0 * dl.y * invp, cap_end)
-        # select by kind (0 sphere, 1 box, 2 capsule, 3 cylinder)
-        sl = pwhere(kind < 0.5, sph,
-                    pwhere(kind < 1.5, box,
-                           pwhere(kind < 2.5, cap, cyl)))
-        # world = R s + t
-        return P3(r00 * sl.x + r01 * sl.y + r02 * sl.z + tx,
-                  r10 * sl.x + r11 * sl.y + r12 * sl.z + ty,
-                  r20 * sl.x + r21 * sl.y + r22 * sl.z + tz)
-
     def support(d: P3) -> P3:
-        return one_side(sa, d) - one_side(sb, -d)
+        return _shape_support_side(sa, d) - _shape_support_side(sb, -d)
 
     return support
 
 
+def _shape_radius(s):
+    """Conservative bounding radius of a packed shape block (16, BLOCK)."""
+    kind = s[0:1, :]
+    p0, p1, p2 = s[1:2, :], s[2:3, :], s[3:4, :]
+    rbox = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
+    return jnp.where(kind < 0.5, p0,
+                     jnp.where(kind < 1.5, rbox, p0 + p1))
+
+
 def _shape_broadphase(sa, sb, tol):
-    def radius(s):
-        kind = s[0:1, :]
-        p0, p1, p2 = s[1:2, :], s[2:3, :], s[3:4, :]
-        rbox = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
-        return jnp.where(kind < 0.5, p0,
-                         jnp.where(kind < 1.5, rbox, p0 + p1))
+    radius = _shape_radius
 
     ca = P3(sa[4:5, :], sa[5:6, :], sa[6:7, :])
     cb = P3(sb[4:5, :], sb[5:6, :], sb[6:7, :])
@@ -2209,6 +2221,165 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
                          out_rows=_SHAPE_OUT_ROWS, geom_in_rows=True,
                          pre_dest=dest1)
     if bsz != b_user:
+        res = FusedResult(*(x[:b_user] for x in res))
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Mixed hull-vs-analytic-shape mode: one vertex-cloud side + one closed-form
+# side in the same kernels (capability extension; the reference is
+# cloud-vs-cloud only, ref :43-46).  The hull rides as a (3, N, BLOCK) geom
+# block (GJK + EPA), the shape as 16 packed rows that the GJK kernel copies
+# into its output (rows 24-39) so the EPA phase re-permutes only the hull.
+# ---------------------------------------------------------------------------
+
+_MIXED_OUT_ROWS = 40
+
+
+def _make_hull_shape_support(v1x, v1y, v1z, n_iota1, sb):
+    """Minkowski support: hull side A (first-max argmax scan, reference
+    semantics ref :1030-1062) minus analytic side B (closed form)."""
+
+    def support(d: P3) -> P3:
+        dots1 = v1x * d.x + v1y * d.y + v1z * d.z          # (N, BLOCK)
+        i1 = jnp.argmax(dots1, axis=0, keepdims=True)
+        oh1 = n_iota1 == i1
+        ax = jnp.sum(jnp.where(oh1, v1x, 0.0), axis=0, keepdims=True)
+        ay = jnp.sum(jnp.where(oh1, v1y, 0.0), axis=0, keepdims=True)
+        az = jnp.sum(jnp.where(oh1, v1z, 0.0), axis=0, keepdims=True)
+        bpt = _shape_support_side(sb, -d)
+        return P3(ax - bpt.x, ay - bpt.y, az - bpt.z)
+
+    return support
+
+
+def _hull_shape_broadphase(v1x, v1y, v1z, sb, tol):
+    c1 = P3(jnp.mean(v1x, axis=0, keepdims=True),
+            jnp.mean(v1y, axis=0, keepdims=True),
+            jnp.mean(v1z, axis=0, keepdims=True))
+    r1 = jnp.max(jnp.sqrt((v1x - c1.x) ** 2 + (v1y - c1.y) ** 2
+                          + (v1z - c1.z) ** 2), axis=0, keepdims=True)
+    cb = P3(sb[4:5, :], sb[5:6, :], sb[6:7, :])
+    return pnorm(c1 - cb) <= r1 + _shape_radius(sb) + tol
+
+
+def _gjk_kernel_hull_shape(p1_ref, sb_ref, out_ref, *, cfg, block):
+    n1 = p1_ref.shape[1]
+    v1 = (p1_ref[0, :, :], p1_ref[1, :, :], p1_ref[2, :, :])
+    iota1 = lax.broadcasted_iota(jnp.int32, (n1, block), 0)
+    sb = sb_ref[:, :]
+    support = _make_hull_shape_support(*v1, iota1, sb)
+    active = _hull_shape_broadphase(*v1, sb, cfg.broadphase_tol)
+    simplex, status, gjk_iters, sep = _gjk_guard(support, active, _TABLE_ROWS,
+                                                 cfg, block)
+    _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
+    out_ref[24:40, :] = sb[0:16, :]
+
+
+def _epa_cascade_kernel_hull_shape(p1_ref, gin_ref, out_ref, *, stages,
+                                   block, polish=True):
+    """Mixed EPA: in-kernel tier ladder + closed-form polish.
+
+    The polish (support-function descent, _polish_direction) is valid for
+    ANY exact support map — the hull argmax is exact — and the analytic
+    side is usually smooth, so the mixed path uses the shapes treatment
+    (capped tiers + polish) rather than the hull path's pure-polytopal
+    convergence: bounded per-lane cost, no rim-tail stragglers."""
+    n1 = p1_ref.shape[1]
+    v1 = (p1_ref[0, :, :], p1_ref[1, :, :], p1_ref[2, :, :])
+    iota1 = lax.broadcasted_iota(jnp.int32, (n1, block), 0)
+    support = _make_hull_shape_support(*v1, iota1, gin_ref[24:40, :])
+    active = _epa_act(gin_ref)
+    simplex = _read_simplex(gin_ref)
+
+    def run():
+        depth, normal, epa_iters, status = _epa_cascade(
+            support, simplex, active, stages, block)
+        if polish:
+            depth, normal, status = _polish_direction(
+                support, depth, normal, status, active, block,
+                promote_capacity=True)
+        return depth, normal, epa_iters, status
+
+    depth, normal, epa_iters, status = _epa_guard(active, block, run)
+    _write_epa_out(out_ref, block, active, depth, normal, epa_iters, status,
+                   gin_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret",
+                                             "sort_hits"))
+def fused_gjkepa_hull_shapes(p1, shapes, mask1=None,
+                             cfg: GJKEPAConfig | None = None,
+                             block: int = 512, interpret: bool = False,
+                             sort_hits: bool = True) -> FusedResult:
+    """Fused-kernel batch query: convex hull vs analytic shape per pair.
+
+    Args:
+      p1: (B, N, 3) float32 padded hull vertex buffers (side A).
+      shapes: :class:`gjkepa_tpu.models.ShapeBatch` of length B (side B).
+      mask1: optional (B, N) validity mask for padded hull rows.
+
+    Same output surface and two-phase dispatch as the hull/shape paths.
+    Depth/normal follow the shapes-path contract (capped EPA + polished
+    support descent: depth realized along the reported normal).
+    """
+    cfg = _round_cfg(cfg)
+    p1 = _mask_to_padding(p1, mask1)
+    b_user = p1.shape[0]
+    (p1,), b = _pad_batch(b_user, min(block, 128), p1)
+    if b != b_user:
+        pad = b - b_user
+        rep = lambda x: jnp.concatenate(  # noqa: E731
+            [x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+        shapes = type(shapes)(kind=rep(shapes.kind), params=rep(shapes.params),
+                              pos=rep(shapes.pos).at[b_user:].add(-4e4),
+                              rot=rep(shapes.rot))
+    n1 = p1.shape[1]
+    block = _auto_block(min(block, b), n1, 0)
+    if b % block != 0:
+        block = 128
+    nb = b // block
+
+    def to_kernel_layout(p, n):
+        flat = jnp.swapaxes(p.reshape(nb, block, n * 3), 1, 2)
+        return flat.reshape(nb, n, 3, block).swapaxes(1, 2)
+
+    p1t = to_kernel_layout(p1, n1)
+    sbt = _rows_to_lanes(_pack_rows(shapes), nb, block)
+    specs = (
+        pl.BlockSpec((1, 3, n1, block), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _vecspec(24, block),
+    )
+
+    def gjk_wrap(p1r, sbr, outr):
+        _gjk_kernel_hull_shape(p1r.at[0], sbr.at[0], outr.at[0], cfg=cfg,
+                               block=block)
+
+    eb = min(block, 128)
+    epa_specs = (
+        pl.BlockSpec((1, 3, n1, eb), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+
+    epa_wrap = None
+    if cfg.epa_max_iters > 0:
+        rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
+        cap = min(_SMOOTH_EPA_CAP, cfg.epa_max_iters)
+        stage_f = rup(max(2 * cap + 10, 48))
+        stage_cfg = cfg.replace(epa_max_iters=cap, epa_max_faces=stage_f)
+        stages = [(stage_cfg, 8), (stage_cfg, 16)]
+
+        def epa_wrap(p1r, ginr, outr):
+            _epa_cascade_kernel_hull_shape(p1r.at[0], ginr.at[0], outr.at[0],
+                                           stages=stages, block=eb)
+
+    res = _run_two_phase(gjk_wrap, epa_wrap, (p1t, sbt), specs, b, block,
+                         interpret, sort_hits, epa_block=eb,
+                         epa_geom_specs=epa_specs,
+                         out_rows=_MIXED_OUT_ROWS,
+                         epa_geom_arrays=(p1t,))
+    if b != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res
 

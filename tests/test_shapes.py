@@ -223,11 +223,14 @@ def test_fuzz_mixed_kind_pairs_fused_vs_xla(rng):
         from gjkepa_tpu.ops.fused import _closed_form_shape_pairs
         handled = np.asarray(_closed_form_shape_pairs(
             a, b, cfg.broadphase_tol)[0])
-        # closed-form lanes: exact on the fused side, converged polytopal
-        # EPA on the XLA side — agree to the f32 convergence budget
+        # closed-form lanes: exact on the fused side; the XLA side is
+        # converged polytopal EPA + the support-descent polish, whose
+        # result is an UPPER bound realized along its direction — on flat
+        # (edge/face) contacts the final grid step (~6e-4 rad) leaves up
+        # to ~5e-4 of linear-in-angle slack above the exact depth
         m0 = both & handled
         np.testing.assert_allclose(
-            df[m0], dx[m0], atol=5e-5,
+            df[m0], dx[m0], atol=5e-4,
             err_msg=f"seed {seed}: depth diverges on closed-form lanes")
         # remaining lanes (box-capsule / box-cyl / cap-cyl / cyl-cyl) run
         # capped-EPA+polish on the fused side (pinned to sampled ground
