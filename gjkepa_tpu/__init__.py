@@ -21,7 +21,8 @@ Public surface:
 
 from .api import collide_shapes_batch, collide_supports, gjkepa, gjkepa_batch
 from .config import DEFAULT_CONFIG, GJKEPAConfig
-from .ops.manifold import ManifoldResult, manifold_batch, manifold_shapes_batch
+from .ops.manifold import (ManifoldResult, manifold_batch,
+                           manifold_hull_shape_batch, manifold_shapes_batch)
 from .types import CollisionResult, Status
 
 __version__ = "0.2.0"
@@ -32,6 +33,7 @@ __all__ = [
     "collide_supports",
     "collide_shapes_batch",
     "manifold_batch",
+    "manifold_hull_shape_batch",
     "manifold_shapes_batch",
     "ManifoldResult",
     "GJKEPAConfig",

@@ -394,3 +394,38 @@ def manifold_shapes_batch(a, b, normal, depth, hit, contact_point,
         a.kind, a.params, a.pos, a.rot, b.kind, b.params, b.pos, b.rot,
         normal, depth, hit, contact_point)
     return ManifoldResult(points=pts, depths=dps, mask=keep)
+
+
+def manifold_hull_shape_batch(p1, shapes, normal, depth, hit,
+                              contact_point=None, mask1=None,
+                              cfg: GJKEPAConfig | None = None,
+                              tol: float | None = None,
+                              poly_cap: int = _POLY_CAP) -> ManifoldResult:
+    """Up-to-4-point contact manifolds for mixed hull-vs-shape pairs:
+    side A a (B, N, 3) padded vertex buffer, side B a
+    :class:`gjkepa_tpu.models.ShapeBatch`.  Feed it the outputs of
+    :func:`gjkepa_tpu.ops.fused.fused_gjkepa_hull_shapes` (normal points
+    A -> B).  `contact_point` is the degenerate-clip fallback point;
+    when omitted it defaults to the centroid of side A's support polygon
+    (FusedResult carries no contact point)."""
+    cfg = cfg or GJKEPAConfig.for_f32()
+    tol = cfg.support_set_tol if tol is None else tol
+
+    def one(pa, ma, kb, pmb, xb, rb, n, d, h, cpt):
+        sa, va = _hull_support_polygon(pa, ma, n, tol, k=poly_cap)
+        sb, vb = _shape_support_polygon(kb, pmb, xb, rb, -n, tol, k=poly_cap)
+        if cpt is None:
+            cpt = (jnp.sum(jnp.where(va[:, None], sa, 0.0), axis=0)
+                   / jnp.maximum(jnp.sum(va), 1))
+        pts, dps, keep = _manifold_one(sa, va, sb, vb, n, d, cpt,
+                                       tol_inside=tol,
+                                       clip_cap=2 * poly_cap)
+        keep = keep & h
+        return pts, dps, keep
+
+    in_axes = (0, None if mask1 is None else 0, 0, 0, 0, 0, 0, 0, 0,
+               None if contact_point is None else 0)
+    pts, dps, keep = jax.vmap(one, in_axes=in_axes)(
+        p1, mask1, shapes.kind, shapes.params, shapes.pos, shapes.rot,
+        normal, depth, hit, contact_point)
+    return ManifoldResult(points=pts, depths=dps, mask=keep)

@@ -118,3 +118,33 @@ def test_fused_mixed_separation_contract(rng):
     r2 = fused_gjkepa_hull_shapes(p1[idx], moved, cfg=cfg, block=len(idx),
                                   interpret=True)
     assert not np.asarray(r2.hit).any()
+
+
+def test_mixed_manifold_box_shape_on_hull_face(rng):
+    """Mixed manifold: a cube hull resting on a box SHAPE must produce a
+    multi-point manifold whose points lie in the contact interface and
+    whose depths match the query depth."""
+    from gjkepa_tpu import manifold_hull_shape_batch
+
+    cfg = GJKEPAConfig.for_f32()
+    half = 0.5
+    cube = np.array([[x, y, z] for x in (-half, half) for y in (-half, half)
+                     for z in (-half, half)], np.float32)
+    # hull cube sits 0.9 above origin; box shape [1x1x1] centered at origin:
+    # overlap slab z in [0.4, 0.5], contact normal ~ -z (A -> B)
+    p1 = jnp.asarray(np.stack([cube + np.array([0, 0, 0.9], np.float32)]))
+    sh = boxes(jnp.asarray(np.array([[0.5, 0.5, 0.5]], np.float32)),
+               pos=jnp.asarray(np.zeros((1, 3), np.float32)))
+    r = fused_gjkepa_hull_shapes(p1, sh, cfg=cfg, block=1, interpret=True)
+    assert bool(r.hit[0])
+    assert float(r.depth[0]) == pytest.approx(0.1, abs=1e-3)
+    m = manifold_hull_shape_batch(p1, sh, r.normal, r.depth, r.hit, cfg=cfg)
+    pts = np.asarray(m.points[0])
+    keep = np.asarray(m.mask[0])
+    assert keep.sum() >= 3, keep
+    got = pts[keep]
+    # contact points lie in the overlap slab and inside the unit square
+    assert np.all(got[:, 2] > 0.3) and np.all(got[:, 2] < 0.6), got
+    assert np.all(np.abs(got[:, :2]) < 0.51 + 1e-4), got
+    dps = np.asarray(m.depths[0])[keep]
+    np.testing.assert_allclose(dps, 0.1, atol=2e-3)
