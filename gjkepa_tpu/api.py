@@ -34,7 +34,7 @@ from .types import CollisionResult, Status
 
 __all__ = ["gjkepa", "gjkepa_batch", "gjkepa_batch_fused", "collide_supports",
            "collide_shapes_batch", "collide_hull_shape_batch",
-           "gjk_distance_batch", "derive_contact"]
+           "gjk_distance_batch", "gjk_distance_shapes_batch", "derive_contact"]
 
 
 def derive_contact(p1, p2, epa_normal, cfg: GJKEPAConfig,
@@ -280,6 +280,27 @@ def gjk_distance_batch(
         return jax.vmap(one, in_axes=in_axes)(p1, p2, mask1, mask2)
     return jax.lax.map(lambda xs: one(*xs), (p1, p2, mask1, mask2),
                        batch_size=chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk_size"))
+def gjk_distance_shapes_batch(a, b, cfg: GJKEPAConfig = DEFAULT_CONFIG,
+                              chunk_size: int | None = None):
+    """Batched closest-distance queries over analytic shape pairs
+    (:class:`gjkepa_tpu.models.ShapeBatch`): exact separation distance +
+    witness points for separated pairs, 0 for intersecting pairs — the
+    shapes twin of :func:`gjk_distance_batch`."""
+    from .models.shapes import make_shape_pair_support  # deferred
+
+    dtype = a.params.dtype
+
+    def one(ka, pa, xa, ra, kb, pb, xb, rb):
+        sup = make_shape_pair_support(ka, pa, xa, ra, kb, pb, xb, rb)
+        return gjk_distance(sup, cfg, dtype=dtype)
+
+    args = (a.kind, a.params, a.pos, a.rot, b.kind, b.params, b.pos, b.rot)
+    if chunk_size is None:
+        return jax.vmap(one)(*args)
+    return jax.lax.map(lambda xs: one(*xs), args, batch_size=chunk_size)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret"))

@@ -75,3 +75,30 @@ def test_intersecting_agrees_with_gjkepa(rng):
     disagree = inter != hit
     assert np.all(dist[disagree] < 1e-3), (
         f"hit/intersect disagreement outside contact shell: {dist[disagree]}")
+
+
+def test_distance_shapes_batch():
+    """Shapes twin of the hull distance query: two unit spheres at center
+    distance 3 are separated by exactly 1; touching/overlapping pairs
+    report 0."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gjkepa_tpu import GJKEPAConfig
+    from gjkepa_tpu.api import gjk_distance_shapes_batch
+    from gjkepa_tpu.models import spheres
+
+    a = spheres(jnp.asarray(np.array([1.0, 1.0], np.float32)),
+                pos=jnp.asarray(np.zeros((2, 3), np.float32)))
+    b = spheres(jnp.asarray(np.array([1.0, 1.0], np.float32)),
+                pos=jnp.asarray(np.array([[3.0, 0, 0], [1.5, 0, 0]],
+                                         np.float32)))
+    r = gjk_distance_shapes_batch(a, b, cfg=GJKEPAConfig.for_f32())
+    d = np.asarray(r.distance)
+    assert abs(d[0] - 1.0) < 2e-3, d
+    assert d[1] < 2e-3, d
+    assert bool(r.intersecting[1]) and not bool(r.intersecting[0])
+    # witness points straddle the gap along x: sphere A surface at x=1,
+    # sphere B surface at x=2
+    pa, pb = np.asarray(r.point_a[0]), np.asarray(r.point_b[0])
+    assert abs(pa[0] - 1.0) < 2e-3 and abs(pb[0] - 2.0) < 2e-3, (pa, pb)
