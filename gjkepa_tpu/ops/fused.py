@@ -53,6 +53,13 @@ _RUNNING = -1
 # refines depth/normal beyond what converged f32 EPA achieves.
 _SMOOTH_EPA_CAP = 16
 
+# Lane width of the split-pipeline GJK-loop kernel (fused_gjkepa_shapes
+# fast path): the subset is 100% iterate-loop lanes, and each block runs to
+# its slowest lane — narrower blocks decouple stragglers at the cost of
+# more per-program floor.  At 64k mixed-analytic, 512 measured best
+# (36.0M q/s vs 35.5M at 256 and 31.3M at 128: the floor wins).
+_SUB_BLOCK = 512
+
 # Init-retry directions, unrolled statically in-kernel (see _gjk_phase).
 _N_INIT_UNROLL = 8
 _TABLE_ROWS = tuple(tuple(float(x) for x in row)
@@ -1842,12 +1849,85 @@ def _closed_form_rows(sa, sb, tol, block):
     return final, depth, normal, gap, status
 
 
+def _cf_kind_mask(sa, sb):
+    """The closed-form `final` predicate of _closed_form_rows, kinds only
+    (exact integer-code comparisons — bit-identical between the XLA
+    grouping predicate and the in-kernel recompute)."""
+    k1, k2 = sa[0:1, :], sb[0:1, :]
+    is_ss1 = (k1 < 0.5) | ((k1 > 1.5) & (k1 < 2.5))
+    is_ss2 = (k2 < 0.5) | ((k2 > 1.5) & (k2 < 2.5))
+    s_b = (k1 < 0.5) & (jnp.abs(k2 - 1.0) < 0.5)
+    b_s = (jnp.abs(k1 - 1.0) < 0.5) & (k2 < 0.5)
+    s_c = (k1 < 0.5) & (k2 > 2.5)
+    c_s = (k1 > 2.5) & (k2 < 0.5)
+    b_b = (jnp.abs(k1 - 1.0) < 0.5) & (jnp.abs(k2 - 1.0) < 0.5)
+    return (is_ss1 & is_ss2) | s_b | b_s | s_c | c_s | b_b
+
+
 # Shapes GJK-kernel output layout: rows 0-23 = the standard _write_gjk_out
 # channels (incl. the closed-form rows 16-20); rows 24-39 / 40-55 = a copy
 # of the packed shape rows of A / B.  The EPA phase reads its geometry from
 # these rows of the (already permuted) gin block, so the inter-phase glue
 # is ONE gather instead of three (see _run_two_phase geom_in_rows).
 _SHAPE_OUT_ROWS = 56
+
+# Split-pipeline closed-form kernel output layout (natural order, no
+# simplex / geometry copies needed): 0 hit, 1 status, 2 depth, 3-5 normal,
+# 6 distance, 7 pad.
+_CF_OUT_ROWS = 8
+
+
+def _cf_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
+    """Closed-form-only shapes kernel (split pipeline, natural pair order).
+
+    Produces the exact per-lane results of _gjk_kernel_shapes for every
+    lane that does NOT enter the GJK loop: closed-form analytic pairs
+    (`final`) carry their exact depth/normal/status, everything else is
+    the broadphase-miss row the _gjk_guard skip branch would emit
+    (status MISS_BROADPHASE, zero depth/distance).  Lanes that DO need
+    the GJK loop are handled by _gjk_sub_kernel_shapes on the gathered
+    subset; their rows here are ignored by the caller's g0 merge.
+    """
+    sa = sa_ref[:, :]
+    sb = sb_ref[:, :]
+    final, cf_depth, cf_n, cf_gap, cf_status = _closed_form_rows(
+        sa, sb, cfg.broadphase_tol, block)
+    f = jnp.float32
+    miss = jnp.full((1, block), Status.MISS_BROADPHASE, jnp.int32)
+    status = jnp.where(final, cf_status, miss)
+    sep = jnp.where(final, jnp.maximum(cf_gap, 0.0), 0.0)
+    finf = jnp.where(final, 1.0, 0.0).astype(f)
+    out_ref[0:1, :] = jnp.where(status == Status.HIT, 1.0, 0.0).astype(f)
+    out_ref[1:2, :] = status.astype(f)
+    out_ref[2:3, :] = cf_depth.astype(f) * finf
+    out_ref[3:4, :] = cf_n.x.astype(f) * finf
+    out_ref[4:5, :] = cf_n.y.astype(f) * finf
+    out_ref[5:6, :] = cf_n.z.astype(f) * finf
+    out_ref[6:7, :] = sep.astype(f)
+    out_ref[7:8, :] = jnp.zeros((1, block), f)
+
+
+def _gjk_sub_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
+    """GJK-loop-only shapes kernel (split pipeline, compact subset order).
+
+    Runs on the gathered subset of pairs whose XLA-side grouping predicate
+    said "broadphase overlap and no closed form".  Activity is recomputed
+    in-kernel from the same formulas (the XLA predicate carries a margin,
+    so every kernel-active lane is guaranteed to be in the subset; filler
+    lanes fail the in-kernel test and whole filler blocks skip via
+    _gjk_guard).  Output rows match _gjk_kernel_shapes minus the
+    closed-form channel (rows 16-20 stay zero: no subset lane is final).
+    """
+    sa = sa_ref[:, :]
+    sb = sb_ref[:, :]
+    support = _make_shape_support(sa, sb)
+    active = (_shape_broadphase(sa, sb, cfg.broadphase_tol)
+              & ~_cf_kind_mask(sa, sb))
+    simplex, status, gjk_iters, sep = _gjk_guard(support, active, _TABLE_ROWS,
+                                                 cfg, block)
+    _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
+    out_ref[24:40, :] = sa[0:16, :]
+    out_ref[40:56, :] = sb[0:16, :]
 
 
 def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
@@ -2118,8 +2198,31 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
                         sort_hits: bool = True) -> FusedResult:
     """Fused-kernel batch query over analytic shape pairs (ShapeBatch pair).
 
-    Same output surface and two-phase dispatch as fused_gjkepa_hulls;
-    broadphase uses conservative per-shape bounding radii.
+    Same output surface as fused_gjkepa_hulls; broadphase uses conservative
+    per-shape bounding radii.
+
+    Dispatch (sort_hits=True, the production mode) is a SPLIT pipeline:
+
+      * a closed-form kernel answers every non-GJK lane in the CALLER's
+        natural order (9 of the 16 kind combinations have closed forms,
+        and broadphase misses need no geometry at all), so the bulk of the
+        batch never pays a permutation gather in either direction;
+      * the minority of lanes that need the iterate loop — broadphase
+        overlap and no closed form (predicate `g0`) — are gathered into a
+        compact subset (cap C1 = B/4) for the GJK kernel, then
+        hit-compacted again (cap C2 = C1/8) for the EPA cascade;
+      * results come back through ONE (B, 12) row gather + ONE transpose;
+        every output field is then a contiguous row slice (column reads
+        of a row-major (B, k) array are a TPU layout pathology measured
+        at ~170 us per 64k call).
+
+    The g0 predicate mirrors the kernels' own activity recompute but adds
+    a relative margin, making it a guaranteed SUPERSET of the in-kernel
+    broadphase (the two formulas can round differently between XLA and
+    Mosaic); subset filler lanes fail the in-kernel test and cost nothing
+    (whole filler blocks skip via _gjk_guard).  Batches denser than C1
+    fall back to the round-3 grouped single-kernel path behind a scalar
+    lax.cond — a speed tier, never a correctness one.
     """
     cfg = _round_cfg(cfg)
     b_user = a.kind.shape[0]
@@ -2140,70 +2243,16 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     if bsz % block != 0:
         block = 128
     nb = bsz // block
-    # GJK-lane grouping: scatter the (rare) pairs that actually need the
-    # GJK loop — broadphase overlap and no closed form — into the LEADING
-    # lanes, so whole blocks of closed-form/rejected lanes skip the init
-    # probes + iterate loop via _gjk_guard's scalar cond.  Without this the
-    # kernel's cost depends on the CALLER's pair order (a shuffled 64k
-    # batch ran 2.2x slower than the same pairs kind-clustered).  The
-    # predicate mirrors _closed_form_rows' kind table + _shape_broadphase
-    # exactly, but it is advisory: the kernels recompute their own
-    # activity, so a mismatch costs speed, never correctness.
-    if sort_hits:
-        ka = a.kind.astype(jnp.int32)
-        kb = b.kind.astype(jnp.int32)
-        sw_a = (ka == 0) | (ka == 2)
-        sw_b = (kb == 0) | (kb == 2)
-        cf = (sw_a & sw_b) | ((ka == 1) & (kb == 1))
-        cf |= ((ka == 0) & (kb == 1)) | ((ka == 1) & (kb == 0))
-        cf |= ((ka == 0) & (kb == 3)) | ((ka == 3) & (kb == 0))
-
-        def radius(s):
-            p = s.params.astype(jnp.float32)
-            rbox = jnp.sqrt(jnp.sum(p * p, axis=1))
-            return jnp.where(s.kind == 0, p[:, 0],
-                             jnp.where(s.kind == 1, rbox, p[:, 0] + p[:, 1]))
-
-        gap = jnp.sqrt(jnp.sum((a.pos.astype(jnp.float32)
-                                - b.pos.astype(jnp.float32)) ** 2, axis=1))
-        g0 = (gap <= radius(a) + radius(b) + cfg.broadphase_tol) & ~cf
-        gi = g0.astype(jnp.int32)
-        csum = jnp.cumsum(gi)
-        iot = jnp.arange(bsz, dtype=jnp.int32)
-        dest1 = jnp.where(g0, csum - 1, csum[-1] + iot - csum)
-        _, order1 = lax.sort((dest1, iot), num_keys=1)  # inverse, scatter-free
-    else:
-        dest1 = order1 = None
-    # closed-form analytic pairs are answered inside the GJK kernel
-    # (_closed_form_rows) and carried out via the kernel-final channel —
-    # no XLA-side merge passes.  Both sides' packed rows ride ONE gather
-    # and ONE transpose (row gathers are index-rate bound: (B, 48) costs
-    # the same as (B, 24)).
-    rows = jnp.concatenate([_pack_rows(a), _pack_rows(b)], axis=1)
-    if order1 is not None:
-        rows = rows[order1]
-    rows_t = rows.T                                  # one (48, B) transpose
-    sa = jnp.swapaxes(rows_t[:24].reshape(24, nb, block), 0, 1)
-    sb = jnp.swapaxes(rows_t[24:].reshape(24, nb, block), 0, 1)
-    specs = (_vecspec(24, block), _vecspec(24, block))
-
-    def gjk_wrap(sar, sbr, outr):
-        _gjk_kernel_shapes(sar.at[0], sbr.at[0], outr.at[0], cfg=cfg,
-                           block=block)
-
     eb = min(block, 128)
+    f32 = jnp.float32
 
     # Shapes EPA: ONE kernel, two capped tiers + one polish.  Every EPA
-    # lane is a smooth pair now (flat-flat combinations are closed-form
+    # lane is a smooth pair (flat-flat combinations are closed-form
     # final), so the capped treatment applies to the whole kernel: the
     # _SMOOTH_EPA_CAP iteration budget localizes the contact basin; F=48
     # covers the face growth of a capped run (4 + 2*cap <= 48) so the only
     # capacity exit left is the K=8 visible-set bound — the in-kernel K=16
-    # retry tier covers those lanes behind a scalar cond.  The 48/88/208
-    # ladder of round 2 existed to contain the 90-iteration cylinder-rim
-    # tail; the cap+polish removes the tail at its source.  The hull
-    # pipeline keeps the generic _cascade_plan ladder (polytopal path,
-    # bit-identical reference semantics — no polish).
+    # retry tier covers those lanes behind a scalar cond.
     epa_wrap = None
     if cfg.epa_max_iters > 0:
         rup = lambda x: ((x + 7) // 8) * 8  # noqa: E731
@@ -2216,10 +2265,200 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
             _epa_cascade_kernel_shapes(ginr.at[0], outr.at[0], stages=stages,
                                        block=eb)
 
-    res = _run_two_phase(gjk_wrap, epa_wrap, (sa, sb), specs, bsz, block,
-                         interpret, sort_hits, epa_block=eb,
-                         out_rows=_SHAPE_OUT_ROWS, geom_in_rows=True,
-                         pre_dest=dest1)
+    def gjk_wrap(sar, sbr, outr):
+        _gjk_kernel_shapes(sar.at[0], sbr.at[0], outr.at[0], cfg=cfg,
+                           block=block)
+
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    rows = jnp.concatenate([_pack_rows(a), _pack_rows(b)], axis=1)  # (B, 48)
+
+    def lanes24(rows48, nblk):
+        rt = rows48.T
+        sa_ = jnp.swapaxes(rt[:24].reshape(24, nblk, block), 0, 1)
+        sb_ = jnp.swapaxes(rt[24:].reshape(24, nblk, block), 0, 1)
+        return sa_, sb_
+
+    def legacy(rows48, pre_dest):
+        sa_, sb_ = lanes24(rows48, nb)
+        specs = (_vecspec(24, block), _vecspec(24, block))
+        return _run_two_phase(gjk_wrap, epa_wrap, (sa_, sb_), specs, bsz,
+                              block, interpret, sort_hits, epa_block=eb,
+                              out_rows=_SHAPE_OUT_ROWS, geom_in_rows=True,
+                              pre_dest=pre_dest)
+
+    if not sort_hits:
+        res = legacy(rows, None)
+        if bsz != b_user:
+            res = FusedResult(*(x[:b_user] for x in res))
+        return res
+
+    # --- grouping predicate (XLA twin of the kernels' activity test) -------
+    ka = a.kind.astype(jnp.int32)
+    kb = b.kind.astype(jnp.int32)
+    sw_a = (ka == 0) | (ka == 2)
+    sw_b = (kb == 0) | (kb == 2)
+    cf = (sw_a & sw_b) | ((ka == 1) & (kb == 1))
+    cf |= ((ka == 0) & (kb == 1)) | ((ka == 1) & (kb == 0))
+    cf |= ((ka == 0) & (kb == 3)) | ((ka == 3) & (kb == 0))
+
+    def radius(s):
+        p = s.params.astype(f32)
+        rbox = jnp.sqrt(jnp.sum(p * p, axis=1))
+        return jnp.where(s.kind == 0, p[:, 0],
+                         jnp.where(s.kind == 1, rbox, p[:, 0] + p[:, 1]))
+
+    gap = jnp.sqrt(jnp.sum((a.pos.astype(f32) - b.pos.astype(f32)) ** 2,
+                           axis=1))
+    rr = radius(a) + radius(b) + cfg.broadphase_tol
+    # relative margin >> f32 rounding differences between this computation
+    # and the in-kernel _shape_broadphase: g0 must be a SUPERSET of the
+    # kernel's activity for the split pipeline (below) to be lossless.
+    g0 = (gap <= rr + 1e-4 + 1e-4 * jnp.abs(rr)) & ~cf
+    gi = g0.astype(jnp.int32)
+    csum = jnp.cumsum(gi)
+    n_g0 = csum[-1]
+    iot = jnp.arange(bsz, dtype=jnp.int32)
+    dest1 = jnp.where(g0, csum - 1, n_g0 + iot - csum)
+    _, order1 = lax.sort((dest1, iot), num_keys=1)  # inverse, scatter-free
+
+    C1 = max(block, (bsz // 4) // block * block)
+    if C1 >= bsz:
+        # small batch: the subset would be the whole batch — the grouped
+        # single-kernel path is strictly cheaper.
+        res = legacy(rows[order1], dest1)
+        if bsz != b_user:
+            res = FusedResult(*(x[:b_user] for x in res))
+        return res
+
+    def fast(_):
+        # closed-form kernel over the natural order: no input permute
+        sa_n, sb_n = lanes24(rows, nb)
+
+        def cf_wrap(sar, sbr, outr):
+            _cf_kernel_shapes(sar.at[0], sbr.at[0], outr.at[0], cfg=cfg,
+                              block=block)
+
+        gout_cf = pl.pallas_call(
+            cf_wrap, grid=(nb,),
+            out_shape=jax.ShapeDtypeStruct((nb, _CF_OUT_ROWS, block), f32),
+            in_specs=[_vecspec(24, block), _vecspec(24, block)],
+            out_specs=_vecspec(_CF_OUT_ROWS, block),
+            compiler_params=cparams, interpret=interpret,
+        )(sa_n, sb_n)
+
+        # GJK kernel over the gathered compact subset.  The loop kernel
+        # gets its OWN (narrower) lane width: its while loop runs to the
+        # slowest lane in a block, and the subset is 100% loop lanes —
+        # narrower blocks decouple the stragglers (the cf kernel keeps the
+        # wide block: its cost is uniform).
+        gb = min(block, _SUB_BLOCK)
+        nbg = C1 // gb
+
+        def lanes24g(rows48):
+            rt = rows48.T
+            sa_ = jnp.swapaxes(rt[:24].reshape(24, nbg, gb), 0, 1)
+            sb_ = jnp.swapaxes(rt[24:].reshape(24, nbg, gb), 0, 1)
+            return sa_, sb_
+
+        sa_g, sb_g = lanes24g(rows[order1[:C1]])
+
+        def sub_wrap(sar, sbr, outr):
+            _gjk_sub_kernel_shapes(sar.at[0], sbr.at[0], outr.at[0], cfg=cfg,
+                                   block=gb)
+
+        gout2 = pl.pallas_call(
+            sub_wrap, grid=(nbg,),
+            out_shape=jax.ShapeDtypeStruct((nbg, _SHAPE_OUT_ROWS, gb), f32),
+            in_specs=[_vecspec(24, gb), _vecspec(24, gb)],
+            out_specs=_vecspec(_SHAPE_OUT_ROWS, gb),
+            compiler_params=cparams, interpret=interpret,
+        )(sa_g, sb_g)
+
+        hit2 = gout2[:, 0, :].reshape(C1)
+        stat2 = gout2[:, 1, :].reshape(C1)
+        iters2 = gout2[:, 2, :].reshape(C1)
+        dist2 = gout2[:, 3, :].reshape(C1)
+        zc = jnp.zeros((C1,), f32)
+
+        if epa_wrap is None:
+            # boolean-only: subset lanes carry zero depth/normal + GJK status
+            eflat2 = jnp.stack([zc, zc, zc, zc, zc, stat2, zc, zc], axis=1)
+        else:
+            act2 = hit2 > 0.5
+            ai = act2.astype(jnp.int32)
+            c2 = jnp.cumsum(ai)
+            i2 = jnp.arange(C1, dtype=jnp.int32)
+            # hit-compaction + difficulty grouping: actives first, ordered
+            # by GJK iteration count (a strong proxy for EPA cost — each
+            # EPA block runs its cascade to the SLOWEST lane, so clustering
+            # similar-cost lanes stops one straggler stalling 127 cheap
+            # ones).  dest2 = inverse permutation via a second 2-array sort
+            # (scatters cost 3x more than sorts on this TPU).
+            key = jnp.where(act2, iters2.astype(jnp.int32), jnp.int32(1 << 20))
+            _, order2 = lax.sort((key, i2), num_keys=1)
+            _, dest2 = lax.sort((order2, i2), num_keys=1)
+            gflat2 = jnp.swapaxes(gout2, 1, 2).reshape(C1, _SHAPE_OUT_ROWS)
+            g_perm2 = gflat2[order2]
+            enb2 = C1 // eb
+            gin2 = jnp.swapaxes(
+                g_perm2.reshape(enb2, eb, _SHAPE_OUT_ROWS), 1, 2)
+
+            def epa_pass(gin_i):
+                blocks = gin_i.shape[0]
+                eo = pl.pallas_call(
+                    epa_wrap, grid=(blocks,),
+                    out_shape=jax.ShapeDtypeStruct((blocks, 8, eb), f32),
+                    in_specs=[_vecspec(_SHAPE_OUT_ROWS, eb)],
+                    out_specs=_vecspec(8, eb),
+                    compiler_params=cparams, interpret=interpret,
+                )(gin_i)
+                return jnp.swapaxes(eo, 1, 2).reshape(blocks * eb, 8)
+
+            C2 = max(eb, (C1 // 8) // eb * eb)
+            cblk2 = C2 // eb
+            if C2 < C1:
+                eflat_c = epa_pass(gin2[:cblk2])
+                # no subset lane is closed-form-final: the inactive-tail
+                # passthrough is zeros + the GJK status (gin row 1)
+                def tail_pt(_):
+                    gs = g_perm2[C2:, 1]
+                    z = jnp.zeros((C1 - C2,), f32)
+                    return jnp.stack([z, z, z, z, z, gs, z, z], axis=1)
+
+                eflat_tail = lax.cond(c2[-1] > C2,
+                                      lambda _: epa_pass(gin2[cblk2:]),
+                                      tail_pt, None)
+                eflat_p2 = jnp.concatenate([eflat_c, eflat_tail], axis=0)
+            else:
+                eflat_p2 = epa_pass(gin2)
+            eflat2 = eflat_p2[dest2]
+
+        sub = jnp.concatenate(
+            [eflat2, hit2[:, None], iters2[:, None], dist2[:, None],
+             jnp.zeros((C1, 1), f32)], axis=1)           # (C1, 12)
+        comb = sub[jnp.clip(dest1, 0, C1 - 1)]           # ONE (B, 12) gather
+        # Materialize the transpose: without the barrier XLA fuses it into
+        # the per-field consumers as strided column reads of the row-major
+        # (B, 12) array — measured at ~170 us per 64k call vs ~20 us for
+        # one real (12, B) relayout + contiguous row slices.
+        ct = lax.optimization_barrier(comb.T)            # (12, B): row slices
+
+        cfr = lambda r: gout_cf[:, r, :].reshape(bsz)  # noqa: E731
+        zi = jnp.zeros((bsz,), jnp.int32)
+        return FusedResult(
+            hit=jnp.where(g0, ct[8] > 0.5, cfr(0) > 0.5),
+            status=jnp.where(g0, ct[5], cfr(1)).astype(jnp.int32),
+            depth=jnp.where(g0, ct[0], cfr(2)),
+            normal=jnp.stack([jnp.where(g0, ct[1], cfr(3)),
+                              jnp.where(g0, ct[2], cfr(4)),
+                              jnp.where(g0, ct[3], cfr(5))], axis=1),
+            gjk_iters=jnp.where(g0, ct[9].astype(jnp.int32), zi),
+            epa_iters=jnp.where(g0, ct[4].astype(jnp.int32), zi),
+            distance=jnp.where(g0, ct[10], cfr(6)),
+        )
+
+    res = lax.cond(n_g0 > C1, lambda _: legacy(rows[order1], dest1), fast,
+                   None)
     if bsz != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res

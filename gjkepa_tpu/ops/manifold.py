@@ -47,6 +47,13 @@ class ManifoldResult(NamedTuple):
     points: jnp.ndarray   # (B, 4, 3) contact points (world)
     depths: jnp.ndarray   # (B, 4)    per-point penetration depths (>= 0)
     mask: jnp.ndarray     # (B, 4)    validity
+    # (B,) True where a support polygon had MORE vertices within tol than
+    # `poly_cap` slots (the polygon was truncated in slot-rank order, so
+    # the clipped manifold may under-cover the true contact region —
+    # re-run those pairs with a larger poly_cap).  The reference's support
+    # sets are unbounded lists (ref :509-529); a fixed-capacity TPU
+    # program must surface the cap instead of truncating silently.
+    overflow: jnp.ndarray
 
 
 def _first_k(sel, pts, k):
@@ -56,7 +63,10 @@ def _first_k(sel, pts, k):
     extracted by a one-hot sum.  Dynamic per-pair gathers lower to
     serialized DMAs on TPU (milliseconds per batched gather — the same
     trap the sim solver avoids with one-hot MXU contractions); every
-    index select in this module is a one-hot contraction instead."""
+    index select in this module is a one-hot contraction instead.
+
+    Returns (points (k, 3), valid (k,), overflow bool — more than k rows
+    selected)."""
     cum = jnp.cumsum(sel.astype(jnp.int32))
     n_sel = cum[-1]
     out = []
@@ -64,7 +74,7 @@ def _first_k(sel, pts, k):
         oh = sel & (cum == slot + 1)
         out.append(jnp.sum(jnp.where(oh[:, None], pts, 0.0), axis=0))
     valid = jnp.arange(k) < n_sel
-    return jnp.stack(out), valid
+    return jnp.stack(out), valid, n_sel > k
 
 
 def _hull_support_polygon(p, mask, n, tol, k=_POLY_CAP):
@@ -129,10 +139,10 @@ def _shape_support_polygon(kind, params, pos, rot, n, tol, k=_POLY_CAP):
     dots = local @ dl
     m = jnp.max(jnp.where(kind_ok, dots, -jnp.inf))
     sel = kind_ok & (dots >= m - tol)
-    pts, valid = _first_k(sel, local, k)
+    pts, valid, over = _first_k(sel, local, k)
     world = pts @ rot.T + pos
     del is_cyl
-    return world, valid
+    return world, valid, over
 
 
 def _ccw_sort_apply(p2, valid, *extras):
@@ -355,19 +365,19 @@ def manifold_batch(p1, p2, normal, depth, hit, contact_point,
     tol = cfg.support_set_tol if tol is None else tol
 
     def one(pa, pb, ma, mb, n, d, h, cpt):
-        sa, va = _hull_support_polygon(pa, ma, n, tol, k=poly_cap)
-        sb, vb = _hull_support_polygon(pb, mb, -n, tol, k=poly_cap)
+        sa, va, ova = _hull_support_polygon(pa, ma, n, tol, k=poly_cap)
+        sb, vb, ovb = _hull_support_polygon(pb, mb, -n, tol, k=poly_cap)
         pts, dps, keep = _manifold_one(sa, va, sb, vb, n, d, cpt,
                                        tol_inside=tol,
                                        clip_cap=2 * poly_cap)
         keep = keep & h
-        return pts, dps, keep
+        return pts, dps, keep, (ova | ovb) & h
 
     in_axes = (0, 0, None if mask1 is None else 0,
                None if mask2 is None else 0, 0, 0, 0, 0)
-    pts, dps, keep = jax.vmap(one, in_axes=in_axes)(
+    pts, dps, keep, over = jax.vmap(one, in_axes=in_axes)(
         p1, p2, mask1, mask2, normal, depth, hit, contact_point)
-    return ManifoldResult(points=pts, depths=dps, mask=keep)
+    return ManifoldResult(points=pts, depths=dps, mask=keep, overflow=over)
 
 
 def manifold_shapes_batch(a, b, normal, depth, hit, contact_point,
@@ -382,18 +392,20 @@ def manifold_shapes_batch(a, b, normal, depth, hit, contact_point,
     tol = cfg.support_set_tol if tol is None else tol
 
     def one(ka, pma, xa, ra, kb, pmb, xb, rb, n, d, h, cpt):
-        sa, va = _shape_support_polygon(ka, pma, xa, ra, n, tol, k=poly_cap)
-        sb, vb = _shape_support_polygon(kb, pmb, xb, rb, -n, tol, k=poly_cap)
+        sa, va, ova = _shape_support_polygon(ka, pma, xa, ra, n, tol,
+                                             k=poly_cap)
+        sb, vb, ovb = _shape_support_polygon(kb, pmb, xb, rb, -n, tol,
+                                             k=poly_cap)
         pts, dps, keep = _manifold_one(sa, va, sb, vb, n, d, cpt,
                                        tol_inside=tol,
                                        clip_cap=2 * poly_cap)
         keep = keep & h
-        return pts, dps, keep
+        return pts, dps, keep, (ova | ovb) & h
 
-    pts, dps, keep = jax.vmap(one)(
+    pts, dps, keep, over = jax.vmap(one)(
         a.kind, a.params, a.pos, a.rot, b.kind, b.params, b.pos, b.rot,
         normal, depth, hit, contact_point)
-    return ManifoldResult(points=pts, depths=dps, mask=keep)
+    return ManifoldResult(points=pts, depths=dps, mask=keep, overflow=over)
 
 
 def manifold_hull_shape_batch(p1, shapes, normal, depth, hit,
@@ -412,8 +424,9 @@ def manifold_hull_shape_batch(p1, shapes, normal, depth, hit,
     tol = cfg.support_set_tol if tol is None else tol
 
     def one(pa, ma, kb, pmb, xb, rb, n, d, h, cpt):
-        sa, va = _hull_support_polygon(pa, ma, n, tol, k=poly_cap)
-        sb, vb = _shape_support_polygon(kb, pmb, xb, rb, -n, tol, k=poly_cap)
+        sa, va, ova = _hull_support_polygon(pa, ma, n, tol, k=poly_cap)
+        sb, vb, ovb = _shape_support_polygon(kb, pmb, xb, rb, -n, tol,
+                                             k=poly_cap)
         if cpt is None:
             cpt = (jnp.sum(jnp.where(va[:, None], sa, 0.0), axis=0)
                    / jnp.maximum(jnp.sum(va), 1))
@@ -421,11 +434,11 @@ def manifold_hull_shape_batch(p1, shapes, normal, depth, hit,
                                        tol_inside=tol,
                                        clip_cap=2 * poly_cap)
         keep = keep & h
-        return pts, dps, keep
+        return pts, dps, keep, (ova | ovb) & h
 
     in_axes = (0, None if mask1 is None else 0, 0, 0, 0, 0, 0, 0, 0,
                None if contact_point is None else 0)
-    pts, dps, keep = jax.vmap(one, in_axes=in_axes)(
+    pts, dps, keep, over = jax.vmap(one, in_axes=in_axes)(
         p1, mask1, shapes.kind, shapes.params, shapes.pos, shapes.rot,
         normal, depth, hit, contact_point)
-    return ManifoldResult(points=pts, depths=dps, mask=keep)
+    return ManifoldResult(points=pts, depths=dps, mask=keep, overflow=over)

@@ -145,3 +145,46 @@ def test_miss_lanes_have_empty_manifold():
     m = manifold_shapes_batch(a, b, res.normal, res.depth, res.hit,
                               res.contact_point, cfg=CFG)
     assert not np.asarray(m.mask).any()
+
+
+def test_poly_cap_overflow_flagged_and_recoverable():
+    """A 12-vertex coplanar contact face must either fit the support
+    polygon capacity or raise the per-pair overflow flag (VERDICT round-3
+    item 6: no silent truncation; ref support sets are unbounded lists,
+    ref :509-529)."""
+    # prism: regular 12-gon top face at z = +0.25, same 12-gon at z = -0.25
+    ang = np.linspace(0.0, 2 * np.pi, 12, endpoint=False)
+    ring = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    top = np.concatenate([ring, np.full((12, 1), 0.25)], axis=1)
+    bot = np.concatenate([ring, np.full((12, 1), -0.25)], axis=1)
+    prism = np.concatenate([top, bot]).astype(np.float64)       # (24, 3)
+    slab = _box_hull([0.0, 0.0, 0.65], [2.0, 2.0, 0.5])         # big flat box
+    pad = np.concatenate([slab, np.repeat(slab[:1], 24 - 8, axis=0)])
+    p1 = jnp.asarray(prism[None])
+    p2 = jnp.asarray(pad[None])
+    mask2 = jnp.asarray((np.arange(24) < 8)[None])   # padding repeats a
+    cfg = GJKEPAConfig()                             # bottom corner — mask it
+    res = gjkepa_batch(p1, p2, mask2=mask2, cfg=cfg)
+    assert bool(res.hit[0])
+
+    # default cap (8) < 12 coplanar vertices: must be FLAGGED
+    m8 = manifold_batch(p1, p2, res.normal, res.depth, res.hit,
+                        res.contact_point, mask2=mask2, cfg=cfg, tol=1e-6)
+    assert bool(m8.overflow[0])
+
+    # cap 12 holds the full polygon: no overflow, full-area manifold
+    m12 = manifold_batch(p1, p2, res.normal, res.depth, res.hit,
+                         res.contact_point, mask2=mask2, cfg=cfg, tol=1e-6,
+                         poly_cap=12)
+    assert not bool(m12.overflow[0])
+    assert np.asarray(m12.mask[0]).all()
+    np.testing.assert_allclose(np.asarray(m12.depths[0]), 0.1, atol=1e-5)
+
+    # hits without a crowded face must stay unflagged
+    a = boxes(np.array([[0.5, 0.5, 0.5]], np.float32))
+    b = boxes(np.array([[0.4, 0.4, 0.5]], np.float32),
+              pos=np.array([[0.0, 0.0, 0.9]], np.float32))
+    r2 = collide_shapes_batch(a, b, cfg=CFG)
+    m2 = manifold_shapes_batch(a, b, r2.normal, r2.depth, r2.hit,
+                               r2.contact_point, cfg=CFG)
+    assert not bool(m2.overflow[0])
