@@ -19,7 +19,8 @@ Public surface:
   * :mod:`gjkepa_tpu.utils` — convex-hull preprocessing, fixtures.
 """
 
-from .api import collide_shapes_batch, collide_supports, gjkepa, gjkepa_batch
+from .api import (collide_shapes_batch, collide_shapes_batch_fused,
+                  collide_supports, gjkepa, gjkepa_batch)
 from .config import DEFAULT_CONFIG, GJKEPAConfig
 from .ops.manifold import (ManifoldResult, manifold_batch,
                            manifold_hull_shape_batch, manifold_shapes_batch)
@@ -32,6 +33,7 @@ __all__ = [
     "gjkepa_batch",
     "collide_supports",
     "collide_shapes_batch",
+    "collide_shapes_batch_fused",
     "manifold_batch",
     "manifold_hull_shape_batch",
     "manifold_shapes_batch",

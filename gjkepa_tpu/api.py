@@ -33,7 +33,8 @@ from .ops.support import make_hull_support
 from .types import CollisionResult, Status
 
 __all__ = ["gjkepa", "gjkepa_batch", "gjkepa_batch_fused", "collide_supports",
-           "collide_shapes_batch", "collide_hull_shape_batch",
+           "collide_shapes_batch", "collide_shapes_batch_fused",
+           "collide_hull_shape_batch",
            "gjk_distance_batch", "gjk_distance_shapes_batch", "derive_contact"]
 
 
@@ -243,16 +244,59 @@ def collide_shapes_batch(a, b, cfg: GJKEPAConfig = DEFAULT_CONFIG,
     # exactly-concentric spheres have no defined axis: keep the generic EPA
     # normal there instead of the degenerate delta/eps zero vector
     sphere_hit = both_spheres & (depth_exact > 0.0) & res.hit & (dist > 1e-9)
-    pa = a.pos + n_exact * a.params[:, 0:1]
-    pb = b.pos - n_exact * b.params[:, 0:1]
-    m1 = sphere_hit[:, None]
+    depth = jnp.where(sphere_hit, depth_exact, res.depth)
+    normal = jnp.where(sphere_hit[:, None], n_exact, res.normal)
+
+    # Full contact contract on shapes (ref :47-52, dispatch :329-343):
+    # nearest points, version-dispatched contact point (and version 3's
+    # normal rewrite), TOL_FF contact type — from the closed-form
+    # support-set case trees (ops.contact_shapes), replacing the generic
+    # witness-midpoint/type-1 fallback of collide_supports.
+    from .ops.contact_shapes import derive_contact_shapes_batch
+
+    npts, cpoint, normal, ctype = derive_contact_shapes_batch(a, b, normal,
+                                                              cfg)
+    hit = res.hit
+    z = jnp.zeros((), dtype)
     return res._replace(
-        depth=jnp.where(sphere_hit, depth_exact, res.depth),
-        normal=jnp.where(m1, n_exact, res.normal),
-        contact_point=jnp.where(m1, 0.5 * (pa + pb), res.contact_point),
-        nearest_points=jnp.where(sphere_hit[:, None, None],
-                                 jnp.stack([pa, pb], axis=1),
-                                 res.nearest_points),
+        colli_type=jnp.where(hit, ctype, jnp.int32(0)),
+        nearest_points=jnp.where(hit[:, None, None], npts, z),
+        normal=jnp.where(hit[:, None], normal, z),
+        contact_point=jnp.where(hit[:, None], cpoint, z),
+        depth=jnp.where(hit, depth, z),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "block", "interpret"))
+def collide_shapes_batch_fused(a, b, cfg: GJKEPAConfig | None = None,
+                               block: int = 512,
+                               interpret: bool = False) -> CollisionResult:
+    """Full-contract batch query over analytic shape pairs on the fused
+    Pallas fast path: the split-pipeline kernels answer hit/depth/normal/
+    distance, then the closed-form support-set case trees derive nearest
+    points, contact point and contact type (ref :47-52 / :329-343) — the
+    shapes twin of :func:`gjkepa_batch_fused`."""
+    from .ops.contact_shapes import derive_contact_shapes_batch
+    from .ops.fused import fused_gjkepa_shapes
+
+    if cfg is None:
+        cfg = GJKEPAConfig.for_f32()
+    r = fused_gjkepa_shapes(a, b, cfg=cfg, block=block, interpret=interpret)
+    npts, cpoint, normal, ctype = derive_contact_shapes_batch(a, b, r.normal,
+                                                              cfg)
+    hit = r.hit
+    z = jnp.zeros((), a.params.dtype)
+    return CollisionResult(
+        hit=hit,
+        colli_type=jnp.where(hit, ctype, jnp.int32(0)),
+        nearest_points=jnp.where(hit[:, None, None], npts, z),
+        normal=jnp.where(hit[:, None], normal, z),
+        contact_point=jnp.where(hit[:, None], cpoint, z),
+        depth=jnp.where(hit, r.depth, z),
+        distance=r.distance,
+        status=r.status,
+        gjk_iters=r.gjk_iters,
+        epa_iters=r.epa_iters,
     )
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "collision_type",
     "collision_point_v1",
     "collision_point_v2",
+    "collision_point_v2_sets",
     "collision_point_v3",
 ]
 
@@ -135,7 +136,17 @@ def collision_point_v2(p1, p2, normal, cfg: GJKEPAConfig, mask1=None, mask2=None
     set2, _ = _support_set_mask(p2, mask2, -normal, tol)
     s1, n1 = _compact(p1, set1)
     s2, n2 = _compact(p2, set2)
-    fdt = p1.dtype
+    return collision_point_v2_sets(s1, n1, s2, n2, cfg)
+
+
+def collision_point_v2_sets(s1, n1, s2, n2, cfg: GJKEPAConfig):
+    """The version-2 (n1, n2) case dispatch (ref :477-502) over
+    front-compacted support sets: s1/s2 are (K, 3) buffers whose first
+    n1/n2 rows are the support-set members in collection order (the
+    reference's List append order).  Factored out so analytic shapes can
+    feed their closed-form candidate sets (ops.manifold's support-polygon
+    enumeration) through the exact same case tree."""
+    fdt = s1.dtype
 
     def centroid(s, n):
         k = jnp.arange(s.shape[0]) < n
