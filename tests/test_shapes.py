@@ -243,6 +243,88 @@ def test_fuzz_mixed_kind_pairs_fused_vs_xla(rng):
             err_msg=f"seed {seed}: depth diverges on polished EPA lanes")
 
 
+def _rand_rots(k, r):
+    ms = []
+    for _ in range(k):
+        q = np.linalg.qr(r.normal(size=(3, 3)))[0]
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        ms.append(q)
+    return jnp.asarray(np.stack(ms), jnp.float32)
+
+
+def _batch_of_kind(kind, n, r, spread=0.9):
+    pos = jnp.asarray(r.normal(size=(n, 3)).astype(np.float32) * spread)
+    rr = _rand_rots(n, r)
+    p0 = jnp.asarray((0.3 + 0.4 * r.random(n)).astype(np.float32))
+    p1 = jnp.asarray((0.2 + 0.4 * r.random(n)).astype(np.float32))
+    if kind == 0:
+        return spheres(p0, pos=pos)
+    if kind == 1:
+        return boxes(jnp.stack([p0, p1, p0], 1), pos=pos, rot=rr)
+    if kind == 2:
+        return capsules(p0, p1, pos=pos, rot=rr)
+    return cylinders(p0, p1, pos=pos, rot=rr)
+
+
+def _mixed_16combo_pair(n_per_combo, seed):
+    r = np.random.default_rng(seed)
+    a = concat_shapes(*[_batch_of_kind(ka, n_per_combo, r)
+                        for ka in range(4) for _ in range(4)])
+    b = concat_shapes(*[_batch_of_kind(kb, n_per_combo, r)
+                        for _ in range(4) for kb in range(4)])
+    return a, b
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["mixed512", "dense_g0_fallback", "padded400"])
+def test_split_pipeline_fast_vs_legacy_bit_identical(case):
+    """CPU-tier correctness gate for the production split-pipeline dispatch
+    of fused_gjkepa_shapes (the flagship c3 path).
+
+    The `fast` branch (closed-form kernel in caller order + compact-subset
+    GJK + hit-compacted EPA cascade + the dest1/dest2 double permutation,
+    ops/fused.py:2333) only activates at batch >= 4 blocks; every other
+    CPU-tier test uses <= 128 pairs and therefore takes the small-batch
+    legacy path.  This test drives the fast branch in interpret mode and
+    requires BIT-IDENTICAL FusedResult fields vs the unsorted legacy
+    single-kernel path (sort_hits=False), for:
+
+      * mixed512 — all 16 kind combinations, 512 pairs = 4 blocks; the
+        g0 (GJK-lane) population is a minority, so the fast branch runs;
+      * dense_g0_fallback — 512 overlapping cylinder-cylinder pairs: no
+        closed form, every lane g0, so n_g0 > C1 forces the scalar
+        lax.cond fallback to the grouped legacy path (ops/fused.py:2460)
+        WITH the caller-order restoring pre_dest permutation;
+      * padded400 — 400 pairs (not a multiple of the 128 block): the
+        pad-and-slice wrapper around both branches.
+    """
+    from gjkepa_tpu import GJKEPAConfig
+    from gjkepa_tpu.ops.fused import fused_gjkepa_shapes
+
+    cfg = GJKEPAConfig.for_f32()
+    if case == "mixed512":
+        a, b = _mixed_16combo_pair(32, 7)
+    elif case == "dense_g0_fallback":
+        r = np.random.default_rng(3)
+        a = _batch_of_kind(3, 512, r, spread=0.2)
+        b = _batch_of_kind(3, 512, r, spread=0.2)
+    else:
+        a, b = _mixed_16combo_pair(25, 9)
+
+    rf = fused_gjkepa_shapes(a, b, cfg=cfg, interpret=True, sort_hits=True)
+    rl = fused_gjkepa_shapes(a, b, cfg=cfg, interpret=True, sort_hits=False)
+    assert rf.hit.shape[0] == a.kind.shape[0]
+    for name in rf._fields:
+        x, y = np.asarray(getattr(rf, name)), np.asarray(getattr(rl, name))
+        np.testing.assert_array_equal(
+            x, y, err_msg=f"{case}: field {name} diverges fast vs legacy")
+    if case == "dense_g0_fallback":
+        # the fixture must actually force the fallback: every lane is a
+        # cylinder pair (no closed form) within broadphase range
+        assert int(np.asarray(rf.hit).sum()) > 256
+
+
 def test_fused_shapes_order_invariance(rng):
     """The GJK-lane grouping must make results (and, on hardware,
     throughput) independent of the caller's pair order: a shuffled batch
