@@ -1921,8 +1921,10 @@ def _gjk_sub_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
     sa = sa_ref[:, :]
     sb = sb_ref[:, :]
     support = _make_shape_support(sa, sb)
+    # sa row 16: the dispatch's swept-envelope retirement bit (a certified
+    # miss decided ONCE in XLA and consumed identically by every branch)
     active = (_shape_broadphase(sa, sb, cfg.broadphase_tol)
-              & ~_cf_kind_mask(sa, sb))
+              & ~_cf_kind_mask(sa, sb) & (sa[16:17, :] < 0.5))
     simplex, status, gjk_iters, sep = _gjk_guard(support, active, _TABLE_ROWS,
                                                  cfg, block)
     _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
@@ -1936,7 +1938,9 @@ def _gjk_kernel_shapes(sa_ref, sb_ref, out_ref, *, cfg, block):
     support = _make_shape_support(sa, sb)
     final, cf_depth, cf_n, cf_gap, cf_status = _closed_form_rows(
         sa, sb, cfg.broadphase_tol, block)
-    active = _shape_broadphase(sa, sb, cfg.broadphase_tol) & ~final
+    # sa row 16: swept-envelope retirement bit (see _gjk_sub_kernel_shapes)
+    active = (_shape_broadphase(sa, sb, cfg.broadphase_tol) & ~final
+              & (sa[16:17, :] < 0.5))
     simplex, status, gjk_iters, sep = _gjk_guard(support, active, _TABLE_ROWS,
                                                  cfg, block)
     status = jnp.where(final, cf_status, status)
@@ -2209,7 +2213,9 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
         batch never pays a permutation gather in either direction;
       * the minority of lanes that need the iterate loop — broadphase
         overlap and no closed form (predicate `g0`) — are gathered into a
-        compact subset (cap C1 = B/4) for the GJK kernel, then
+        compact subset (cap C1 = B/8; the swept-envelope retirement
+        keeps the population an order of magnitude below it) for the
+        GJK kernel, then
         hit-compacted again (cap C2 = C1/8) for the EPA cascade;
       * results come back through ONE (B, 12) row gather + ONE transpose;
         every output field is then a contiguous row slice (column reads
@@ -2286,12 +2292,6 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
                               out_rows=_SHAPE_OUT_ROWS, geom_in_rows=True,
                               pre_dest=pre_dest)
 
-    if not sort_hits:
-        res = legacy(rows, None)
-        if bsz != b_user:
-            res = FusedResult(*(x[:b_user] for x in res))
-        return res
-
     # --- grouping predicate (XLA twin of the kernels' activity test) -------
     ka = a.kind.astype(jnp.int32)
     kb = b.kind.astype(jnp.int32)
@@ -2301,19 +2301,84 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     cf |= ((ka == 0) & (kb == 1)) | ((ka == 1) & (kb == 0))
     cf |= ((ka == 0) & (kb == 3)) | ((ka == 3) & (kb == 0))
 
+    # --- swept-envelope retirement (capsule bound) -------------------------
+    # A cylinder (r, half-height L) is CONTAINED in the capsule (r, L) on
+    # the same axis, and the capsule-capsule gap is exact closed form
+    # (Ericson's clamped segment-segment solve — the same formula the
+    # closed-form channel uses for capsule pairs).  So for the GJK-lane
+    # kind pairs where both sides are swept-boundable ({capsule,cylinder} x
+    # {capsule,cylinder} minus the capsule-capsule closed form), a positive
+    # envelope gap is a CERTIFIED miss: the lane skips the GJK subset
+    # entirely and reports the envelope gap as its separation certificate
+    # (status MISS_BROADPHASE: an envelope rejection, one tier tighter than
+    # the sphere envelope of ref :1165-1188).  On the c3 bench fixture this
+    # retires ~90% of the g0 population (8034 -> 791 GJK lanes).  The
+    # margin keeps razor-edge lanes in the subset so a true hit can never
+    # retire; the decision is made ONCE here and applied identically to
+    # every dispatch branch (fast / legacy / unsorted), so results stay
+    # bit-identical across them.
+    pa_ = a.params.astype(f32)
+    pb_ = b.params.astype(f32)
+    r1e, l1e = pa_[:, 0], pa_[:, 1]
+    r2e, l2e = pb_[:, 0], pb_[:, 1]
+    pos_a = a.pos.astype(f32)
+    pos_b = b.pos.astype(f32)
+    u1e = a.rot.astype(f32)[:, :, 2]
+    u2e = b.rot.astype(f32)[:, :, 2]
+    rve = pos_a - pos_b
+    bbe = jnp.sum(u1e * u2e, axis=1)
+    cce = jnp.sum(u1e * rve, axis=1)
+    ffe = jnp.sum(u2e * rve, axis=1)
+    dene = 1.0 - bbe * bbe
+    s0e = jnp.where(dene > 1e-12,
+                    (ffe * bbe - cce) / jnp.where(dene > 1e-12, dene, 1.0),
+                    0.0)
+    se = jnp.clip(s0e, -l1e, l1e)
+    te = jnp.clip(se * bbe + ffe, -l2e, l2e)
+    se = jnp.clip(te * bbe - cce, -l1e, l1e)
+    dve = (pos_b + u2e * te[:, None]) - (pos_a + u1e * se[:, None])
+    env_gap = jnp.sqrt(jnp.sum(dve * dve, axis=1)) - r1e - r2e
+    swept_both = ((ka == 2) | (ka == 3)) & ((kb == 2) | (kb == 3)) & ~cf
+    retired = swept_both & (env_gap > 1e-4 + 1e-4 * (r1e + r2e))
+    env_dist = jnp.maximum(env_gap, 0.0)
+    # thread the decision to the kernels through spare packed row 16: the
+    # in-kernel activity tests must consume the SAME bit (not recompute
+    # the envelope) — otherwise a retired lane landing in the subset's
+    # filler region (shuffled caller orders) passes the in-kernel
+    # broadphase and un-skips whole filler blocks (measured: 49 -> 29M q/s
+    # on the shuffled 64k config before this bit existed).
+    rows = rows.at[:, 16].set(jnp.where(retired, 1.0, 0.0).astype(f32))
+
+    def apply_retired(res):
+        zi_ = jnp.zeros_like(res.gjk_iters)
+        return FusedResult(
+            hit=jnp.where(retired, False, res.hit),
+            status=jnp.where(retired, Status.MISS_BROADPHASE, res.status),
+            depth=jnp.where(retired, 0.0, res.depth),
+            normal=jnp.where(retired[:, None], 0.0, res.normal),
+            gjk_iters=jnp.where(retired, zi_, res.gjk_iters),
+            epa_iters=jnp.where(retired, zi_, res.epa_iters),
+            distance=jnp.where(retired, env_dist, res.distance),
+        )
+
+    if not sort_hits:
+        res = apply_retired(legacy(rows, None))
+        if bsz != b_user:
+            res = FusedResult(*(x[:b_user] for x in res))
+        return res
+
     def radius(s):
         p = s.params.astype(f32)
         rbox = jnp.sqrt(jnp.sum(p * p, axis=1))
         return jnp.where(s.kind == 0, p[:, 0],
                          jnp.where(s.kind == 1, rbox, p[:, 0] + p[:, 1]))
 
-    gap = jnp.sqrt(jnp.sum((a.pos.astype(f32) - b.pos.astype(f32)) ** 2,
-                           axis=1))
+    gap = jnp.sqrt(jnp.sum((pos_a - pos_b) ** 2, axis=1))
     rr = radius(a) + radius(b) + cfg.broadphase_tol
     # relative margin >> f32 rounding differences between this computation
     # and the in-kernel _shape_broadphase: g0 must be a SUPERSET of the
     # kernel's activity for the split pipeline (below) to be lossless.
-    g0 = (gap <= rr + 1e-4 + 1e-4 * jnp.abs(rr)) & ~cf
+    g0 = (gap <= rr + 1e-4 + 1e-4 * jnp.abs(rr)) & ~cf & ~retired
     gi = g0.astype(jnp.int32)
     csum = jnp.cumsum(gi)
     n_g0 = csum[-1]
@@ -2321,11 +2386,11 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
     dest1 = jnp.where(g0, csum - 1, n_g0 + iot - csum)
     _, order1 = lax.sort((dest1, iot), num_keys=1)  # inverse, scatter-free
 
-    C1 = max(block, (bsz // 4) // block * block)
+    C1 = max(block, (bsz // 8) // block * block)
     if C1 >= bsz:
         # small batch: the subset would be the whole batch — the grouped
         # single-kernel path is strictly cheaper.
-        res = legacy(rows[order1], dest1)
+        res = apply_retired(legacy(rows[order1], dest1))
         if bsz != b_user:
             res = FusedResult(*(x[:b_user] for x in res))
         return res
@@ -2457,8 +2522,9 @@ def fused_gjkepa_shapes(a, b, cfg: GJKEPAConfig | None = None, block: int = 128,
             distance=jnp.where(g0, ct[10], cfr(6)),
         )
 
-    res = lax.cond(n_g0 > C1, lambda _: legacy(rows[order1], dest1), fast,
-                   None)
+    res = apply_retired(
+        lax.cond(n_g0 > C1, lambda _: legacy(rows[order1], dest1), fast,
+                 None))
     if bsz != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res
@@ -2847,18 +2913,36 @@ def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters):
     out_ref[6:7, :] = out["pb"].z
     out_ref[7:8, :] = jnp.where(inter, 1.0, 0.0).astype(f)
     out_ref[8:9, :] = out["it"].astype(f)
-    out_ref[9:16, :] = jnp.zeros((7, block), f)
+    # row 9: converged flag — the two-phase dispatch gathers lanes still
+    # running at the phase-1 cap into a compact straggler pass
+    out_ref[9:10, :] = jnp.where(out["done"] > 0, 1.0, 0.0).astype(f)
+    out_ref[10:16, :] = jnp.zeros((6, block), f)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "block", "max_iters",
-                                             "interpret"))
+                                             "interpret", "two_phase",
+                                             "phase1_iters"))
 def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
                              cfg: GJKEPAConfig | None = None,
                              block: int = 512, max_iters: int = 64,
-                             interpret: bool = False):
+                             interpret: bool = False, two_phase: bool = True,
+                             phase1_iters: int = 12):
     """Fused distance-GJK over hull pairs: (distance, point_a, point_b,
     intersecting, iters) — the BASELINE config-2 capability at kernel speed.
-    Any B >= 1; ragged hulls via (B, N) masks or repeated-vertex padding."""
+    Any B >= 1; ragged hulls via (B, N) masks or repeated-vertex padding.
+
+    `two_phase` (default, batches >= 2 blocks): the distance loop's
+    iteration count is long-tailed (p50 ~ a third of the observed max) and
+    each block's while-loop runs to its SLOWEST lane, so one straggler
+    stalls 511 cheap ones.  Phase 1 runs everyone at a low cap
+    (`phase1_iters`, wide blocks); the unconverged minority is gathered
+    into a compact prefix (cap B/8, the same cumsum+sort machinery as
+    _run_two_phase) and RESTARTED at the full `max_iters` on narrow
+    blocks.  The restart retraces the identical deterministic iteration
+    sequence, so results are bit-identical to the single-phase kernel
+    (pinned by tests/test_distance_two_phase.py); batches with more
+    stragglers than the prefix fall back to full-width phase 2 behind a
+    scalar lax.cond — a speed tier, never a correctness one."""
     if cfg is None:
         cfg = GJKEPAConfig.for_f32()
     p1 = _mask_to_padding(p1, mask1)
@@ -2870,34 +2954,75 @@ def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
     if b % block != 0:
         block = 128
     nb = b // block
-    def to_kernel_layout(p, n):
-        flat = jnp.swapaxes(p.reshape(nb, block, n * 3), 1, 2)
-        return flat.reshape(nb, n, 3, block).swapaxes(1, 2)
 
-    p1t = to_kernel_layout(p1, n1)
-    p2t = to_kernel_layout(p2, n2)
-    specs = [
-        pl.BlockSpec((1, 3, n1, block), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, n2, block), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    def to_kernel_layout(p, n, nblk, blk):
+        flat = jnp.swapaxes(p.reshape(nblk, blk, n * 3), 1, 2)
+        return flat.reshape(nblk, n, 3, blk).swapaxes(1, 2)
 
-    def wrap(p1r, p2r, outr):
-        _distance_kernel_hulls(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg,
-                               block=block, max_iters=max_iters)
+    def run_pass(p1_i, p2_i, blk, iters_cap):
+        nblk = p1_i.shape[0]
+        specs = [
+            pl.BlockSpec((1, 3, n1, blk), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n2, blk), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
-    out = pl.pallas_call(
-        wrap, grid=(nb,),
-        out_shape=jax.ShapeDtypeStruct((nb, 16, block), jnp.float32),
-        in_specs=specs, out_specs=_vecspec(16, block),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(p1t, p2t)
+        def wrap(p1r, p2r, outr):
+            _distance_kernel_hulls(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg,
+                                   block=blk, max_iters=iters_cap)
 
-    def row(i):
-        return out[:, i, :].reshape(b)[:b_user]
+        return pl.pallas_call(
+            wrap, grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct((nblk, 16, blk), jnp.float32),
+            in_specs=specs, out_specs=_vecspec(16, blk),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(p1_i, p2_i)
+
+    eb = min(block, 128)
+    C = max(eb, (b // 8) // eb * eb)
+    use_two_phase = two_phase and C < b and phase1_iters < max_iters
+
+    p1t = to_kernel_layout(p1, n1, nb, block)
+    p2t = to_kernel_layout(p2, n2, nb, block)
+    out = run_pass(p1t, p2t, block,
+                   phase1_iters if use_two_phase else max_iters)
+
+    if use_two_phase:
+        R = 16
+        flat_a = jnp.swapaxes(out, 1, 2).reshape(b, R)
+        unfinished = flat_a[:, 9] < 0.5
+        ui = unfinished.astype(jnp.int32)
+        csum = jnp.cumsum(ui)
+        n_unf = csum[-1]
+        iot = jnp.arange(b, dtype=jnp.int32)
+        dest = jnp.where(unfinished, csum - 1, n_unf + iot - csum)
+        _, order = lax.sort((dest, iot), num_keys=1)
+
+        enb = b // eb
+        cblk = C // eb
+        g1 = to_kernel_layout(p1.reshape(b, n1 * 3)[order], n1, enb, eb)
+        g2 = to_kernel_layout(p2.reshape(b, n2 * 3)[order], n2, enb, eb)
+
+        def rows_of(o):
+            return jnp.swapaxes(o, 1, 2).reshape(o.shape[0] * eb, R)
+
+        flat_pref = rows_of(run_pass(g1[:cblk], g2[:cblk], eb, max_iters))
+        a_perm = flat_a[order]
+        tail = lax.cond(
+            n_unf > C,
+            lambda _: rows_of(run_pass(g1[cblk:], g2[cblk:], eb, max_iters)),
+            lambda _: a_perm[C:],
+            None)
+        final = jnp.concatenate([flat_pref, tail], axis=0)[dest]
+
+        def row(i):
+            return final[:, i][:b_user]
+    else:
+        def row(i):
+            return out[:, i, :].reshape(b)[:b_user]
 
     from .distance import DistanceResult
     return DistanceResult(

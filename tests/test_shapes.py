@@ -286,9 +286,17 @@ def test_split_pipeline_fast_vs_legacy_bit_identical(case):
     GJK + hit-compacted EPA cascade + the dest1/dest2 double permutation,
     ops/fused.py:2333) only activates at batch >= 4 blocks; every other
     CPU-tier test uses <= 128 pairs and therefore takes the small-batch
-    legacy path.  This test drives the fast branch in interpret mode and
-    requires BIT-IDENTICAL FusedResult fields vs the unsorted legacy
-    single-kernel path (sort_hits=False), for:
+    legacy path.  This test drives the fast branch in interpret mode
+    against the unsorted legacy single-kernel path (sort_hits=False),
+    requiring the discrete fields (hit / status / iteration counters)
+    BIT-IDENTICAL and the continuous fields (depth / normal / distance)
+    within 1 ulp on at most 0.5% of lanes.  Full bitwise equality of the
+    continuous fields is not a stable property: a closed-form lane's
+    values come from _cf_kernel_shapes on the fast branch but from
+    _gjk_kernel_shapes on the legacy branch — two separately compiled
+    kernels whose FMA-contraction choices the compiler may legitimately
+    make differently (observed: one capsule-capsule lane's normal.y off
+    by exactly 1 ulp, flipping with unrelated graph edits).  Cases:
 
       * mixed512 — all 16 kind combinations, 512 pairs = 4 blocks; the
         g0 (GJK-lane) population is a minority, so the fast branch runs;
@@ -315,10 +323,18 @@ def test_split_pipeline_fast_vs_legacy_bit_identical(case):
     rf = fused_gjkepa_shapes(a, b, cfg=cfg, interpret=True, sort_hits=True)
     rl = fused_gjkepa_shapes(a, b, cfg=cfg, interpret=True, sort_hits=False)
     assert rf.hit.shape[0] == a.kind.shape[0]
-    for name in rf._fields:
+    for name in ("hit", "status", "gjk_iters", "epa_iters"):
         x, y = np.asarray(getattr(rf, name)), np.asarray(getattr(rl, name))
         np.testing.assert_array_equal(
             x, y, err_msg=f"{case}: field {name} diverges fast vs legacy")
+    for name in ("depth", "normal", "distance"):
+        x, y = np.asarray(getattr(rf, name)), np.asarray(getattr(rl, name))
+        np.testing.assert_allclose(
+            x, y, atol=5e-7, rtol=5e-7,
+            err_msg=f"{case}: field {name} diverges fast vs legacy")
+        frac = float((x != y).mean())
+        assert frac < 0.005, \
+            f"{case}: {name} bit-differs on {frac:.1%} of lanes (> 0.5%)"
     if case == "dense_g0_fallback":
         # the fixture must actually force the fallback: every lane is a
         # cylinder pair (no closed form) within broadphase range
