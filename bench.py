@@ -175,15 +175,18 @@ def main():
             t_bool = timeit(lambda: fused_gjkepa_hulls(p1, p2, cfg=gjk_cfg,
                                                        block=512),
                             lambda r: r.gjk_iters.astype(jnp.float32))
+            # block 256: tuned for the two-phase dispatch (r5 sweep: 256
+            # beats 512 by ~6% — phase-1 blocks exit at their slowest lane
+            # and narrower blocks shorten that tail)
             t_dist = timeit(lambda: fused_gjk_distance_hulls(p1, p2, cfg=cfg,
-                                                             block=512),
+                                                             block=256),
                             lambda r: r.distance)
             if tag == "hull64k":
                 maybe_profile("c2_bool", lambda: fused_gjkepa_hulls(
                     p1, p2, cfg=gjk_cfg, block=512),
                     lambda r: r.gjk_iters.astype(jnp.float32))
                 maybe_profile("c2_dist", lambda: fused_gjk_distance_hulls(
-                    p1, p2, cfg=cfg, block=512),
+                    p1, p2, cfg=cfg, block=256),
                     lambda r: r.distance)
             results[f"c2_{tag}_bool_qps"] = B2 / t_bool
             results[f"c2_{tag}_dist_qps"] = B2 / t_dist

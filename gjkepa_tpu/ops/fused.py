@@ -1188,7 +1188,7 @@ def _vecspec(rows, block):
 def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
                    interpret, sort_hits, epa_block=None, epa_geom_specs=None,
                    out_rows=24, geom_in_rows=False, scratch_shapes=None,
-                   pre_dest=None, epa_geom_arrays=None):
+                   pre_dest=None, epa_geom_arrays=None, epa_prefix_div=8):
     """Shared two-phase driver.
 
     Phase 1 (GJK) runs over the natural order.  Phase 2 (EPA) runs over a
@@ -1346,7 +1346,7 @@ def _run_two_phase(gjk_kernel, epa_kernel, geom_arrays, geom_specs, b, block,
     # reproduced by an XLA select twin of the kernel's passthrough.
     # (Streamed large-N path keeps the full-width pass: its ANY-space hull
     # operands are shared by all programs and the floor is already small.)
-    C = max(eb, (b // 8) // eb * eb)
+    C = max(eb, (b // epa_prefix_div) // eb * eb)
     if sort_hits and C < b and not scratch_shapes:
         cblk = C // eb
         eflat_c = epa_pass(gin[:cblk], tuple(a[:cblk] for a in geom_p))
@@ -2574,7 +2574,11 @@ def _gjk_kernel_hull_shape(p1_ref, sb_ref, out_ref, *, cfg, block):
     iota1 = lax.broadcasted_iota(jnp.int32, (n1, block), 0)
     sb = sb_ref[:, :]
     support = _make_hull_shape_support(*v1, iota1, sb)
-    active = _hull_shape_broadphase(*v1, sb, cfg.broadphase_tol)
+    # sb row 16: the dispatch's sphere-envelope retirement bit (certified
+    # miss via the hull's bounding sphere vs the exact analytic shape,
+    # decided once in XLA — see fused_gjkepa_hull_shapes)
+    active = (_hull_shape_broadphase(*v1, sb, cfg.broadphase_tol)
+              & (sb[16:17, :] < 0.5))
     simplex, status, gjk_iters, sep = _gjk_guard(support, active, _TABLE_ROWS,
                                                  cfg, block)
     _write_gjk_out(out_ref, block, status, gjk_iters, sep, simplex)
@@ -2649,8 +2653,65 @@ def fused_gjkepa_hull_shapes(p1, shapes, mask1=None,
         flat = jnp.swapaxes(p.reshape(nb, block, n * 3), 1, 2)
         return flat.reshape(nb, n, 3, block).swapaxes(1, 2)
 
-    p1t = to_kernel_layout(p1, n1)
-    sbt = _rows_to_lanes(_pack_rows(shapes), nb, block)
+    # --- sphere-envelope retirement ----------------------------------------
+    # The hull is contained in its bounding sphere, and sphere-vs-shape has
+    # an exact closed form for every analytic kind (_closed_form_shape_pairs
+    # with a virtual sphere side A covers all four).  A positive envelope
+    # gap above a safety margin certifies a miss: the lane skips the GJK
+    # loop (near-miss lanes are exactly the ones that run it to the
+    # stagnation heuristics) and reports the envelope gap as its
+    # separation certificate — envelope ⊇ hull means d(env, shape) <=
+    # d(hull, shape), so a positive envelope gap both proves the miss and
+    # is a valid lower bound for the `distance` field.
+    f32 = jnp.float32
+    p1f = p1.astype(f32)
+    c1h = jnp.mean(p1f, axis=1)
+    r1h = jnp.sqrt(jnp.max(jnp.sum((p1f - c1h[:, None, :]) ** 2, axis=2),
+                           axis=1))
+    virt = type(shapes)(
+        kind=jnp.zeros((b,), shapes.kind.dtype),           # SPHERE
+        params=jnp.stack([r1h, jnp.zeros_like(r1h), jnp.zeros_like(r1h)], 1),
+        pos=c1h,
+        rot=jnp.broadcast_to(jnp.eye(3, dtype=f32), (b, 3, 3)),
+    )
+    handled_e, _, _, _, env_dist, _ = _closed_form_shape_pairs(
+        virt, shapes, cfg.broadphase_tol)
+    scale_e = r1h + shapes.params.astype(f32)[:, 0] + \
+        shapes.params.astype(f32)[:, 1]
+    retired = handled_e & (env_dist > 1e-4 + 1e-4 * scale_e)
+
+    # --- activity grouping (GJK-lane compaction without truncation) --------
+    # This fixture class is dense (the bench's c3b: 86% broadphase-pass,
+    # 38% still active after retirement), so inactive lanes scattered
+    # through the blocks rarely let a whole block skip.  Permute actives to
+    # the front (any permutation is correct: _run_two_phase composes the
+    # inverse via pre_dest), so the GJK while-loop runs in ~ceil(n_act/
+    # block) blocks and the all-inactive rest exit via the guard.
+    rows_sh = _pack_rows(shapes)
+    rows_sh = rows_sh.at[:, 16].set(jnp.where(retired, 1.0, 0.0).astype(f32))
+    if sort_hits:
+        def radius_sh(s):
+            p = s.params.astype(f32)
+            rbox = jnp.sqrt(jnp.sum(p * p, axis=1))
+            return jnp.where(s.kind == 0, p[:, 0],
+                             jnp.where(s.kind == 1, rbox, p[:, 0] + p[:, 1]))
+
+        gap_e = jnp.sqrt(jnp.sum((c1h - shapes.pos.astype(f32)) ** 2,
+                                 axis=1))
+        act_pred = (gap_e <= r1h + radius_sh(shapes) + cfg.broadphase_tol) \
+            & ~retired
+        ai_ = act_pred.astype(jnp.int32)
+        csum_ = jnp.cumsum(ai_)
+        iot_ = jnp.arange(b, dtype=jnp.int32)
+        pre_dest = jnp.where(act_pred, csum_ - 1, csum_[-1] + iot_ - csum_)
+        _, order1 = lax.sort((pre_dest, iot_), num_keys=1)
+        p1t = to_kernel_layout(
+            p1.reshape(b, n1 * 3)[order1].reshape(b, n1, 3), n1)
+        sbt = _rows_to_lanes(rows_sh[order1], nb, block)
+    else:
+        pre_dest = None
+        p1t = to_kernel_layout(p1, n1)
+        sbt = _rows_to_lanes(rows_sh, nb, block)
     specs = (
         pl.BlockSpec((1, 3, n1, block), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -2683,7 +2744,15 @@ def fused_gjkepa_hull_shapes(p1, shapes, mask1=None,
                          interpret, sort_hits, epa_block=eb,
                          epa_geom_specs=epa_specs,
                          out_rows=_MIXED_OUT_ROWS,
-                         epa_geom_arrays=(p1t,))
+                         epa_geom_arrays=(p1t,),
+                         pre_dest=pre_dest,
+                         # the bench-class mixed fixture hits on ~22% of
+                         # lanes — a b/8 prefix overflows every call and
+                         # pays the full-width tail; b/4 covers it
+                         epa_prefix_div=4)
+    # retired lanes come back as kernel-inactive broadphase misses (zeros);
+    # surface the envelope gap as their separation certificate
+    res = res._replace(distance=jnp.where(retired, env_dist, res.distance))
     if b != b_user:
         res = FusedResult(*(x[:b_user] for x in res))
     return res
@@ -2795,7 +2864,12 @@ def _closest_candidates(w, n_pts, block):
     return out
 
 
-def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters):
+def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters,
+                           done0_ref=None):
+    """`done0_ref` (optional (1, block) row): lanes already converged by a
+    previous pass start done, so straggler-free blocks exit before their
+    first iteration (their output rows are garbage; the dispatch merges
+    phase-1 rows back for them)."""
     support, v1, v2 = _hull_views(p1_ref, p2_ref, block)
     support_ab = _make_hull_support_ab(*v1, *v2,
                                        lax.broadcasted_iota(jnp.int32, (p1_ref.shape[1], block), 0),
@@ -2890,11 +2964,14 @@ def _distance_kernel_hulls(p1_ref, p2_ref, out_ref, *, cfg, block, max_iters):
     # initial carry ("Invalid relayout ... replicated in destination").
     izero = jnp.minimum(lax.broadcasted_iota(jnp.int32, (1, block), 1),
                         jnp.int32(0))
+    done_init = izero
+    if done0_ref is not None:
+        done_init = jnp.where(done0_ref[:, :] > 0.5, jnp.int32(1), izero)
     carry = {
         "w": seed(w0), "wa": seed(a0), "wb": seed(b0),
         "n": izero + 1,
         "it": izero,
-        "done": izero,
+        "done": done_init,
         "d2": jnp.zeros((1, block), jnp.float32),
         "pa": zero, "pb": zero,
         "inter": izero,
@@ -2926,7 +3003,7 @@ def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
                              cfg: GJKEPAConfig | None = None,
                              block: int = 512, max_iters: int = 64,
                              interpret: bool = False, two_phase: bool = True,
-                             phase1_iters: int = 12):
+                             phase1_iters: int = 10):
     """Fused distance-GJK over hull pairs: (distance, point_a, point_b,
     intersecting, iters) — the BASELINE config-2 capability at kernel speed.
     Any B >= 1; ragged hulls via (B, N) masks or repeated-vertex padding.
@@ -2959,7 +3036,7 @@ def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
         flat = jnp.swapaxes(p.reshape(nblk, blk, n * 3), 1, 2)
         return flat.reshape(nblk, n, 3, blk).swapaxes(1, 2)
 
-    def run_pass(p1_i, p2_i, blk, iters_cap):
+    def run_pass(p1_i, p2_i, blk, iters_cap, done_i=None):
         nblk = p1_i.shape[0]
         specs = [
             pl.BlockSpec((1, 3, n1, blk), lambda i: (i, 0, 0, 0),
@@ -2967,10 +3044,17 @@ def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
             pl.BlockSpec((1, 3, n2, blk), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+        args = [p1_i, p2_i]
+        if done_i is not None:
+            specs.append(_vecspec(1, blk))
+            args.append(done_i)
 
-        def wrap(p1r, p2r, outr):
+        def wrap(*refs):
+            p1r, p2r, outr = refs[0], refs[1], refs[-1]
+            dref = refs[2].at[0] if done_i is not None else None
             _distance_kernel_hulls(p1r.at[0], p2r.at[0], outr.at[0], cfg=cfg,
-                                   block=blk, max_iters=iters_cap)
+                                   block=blk, max_iters=iters_cap,
+                                   done0_ref=dref)
 
         return pl.pallas_call(
             wrap, grid=(nblk,),
@@ -2979,7 +3063,7 @@ def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(p1_i, p2_i)
+        )(*args)
 
     eb = min(block, 128)
     C = max(eb, (b // 8) // eb * eb)
@@ -3003,20 +3087,37 @@ def fused_gjk_distance_hulls(p1, p2, mask1=None, mask2=None,
 
         enb = b // eb
         cblk = C // eb
-        g1 = to_kernel_layout(p1.reshape(b, n1 * 3)[order], n1, enb, eb)
-        g2 = to_kernel_layout(p2.reshape(b, n2 * 3)[order], n2, enb, eb)
+        f1 = p1.reshape(b, n1 * 3)
+        f2 = p2.reshape(b, n2 * 3)
+        a_perm = flat_a[order]
+        # phase-1 done flags ride into phase 2 so the compact prefix's
+        # filler blocks (already-converged lanes dragged in to round C up)
+        # exit before their first iteration; the merge below takes phase-2
+        # rows ONLY for unfinished lanes, so their garbage rows never leak.
+        dn = jnp.swapaxes(a_perm[:, 9].reshape(enb, eb, 1), 1, 2)
 
         def rows_of(o):
             return jnp.swapaxes(o, 1, 2).reshape(o.shape[0] * eb, R)
 
-        flat_pref = rows_of(run_pass(g1[:cblk], g2[:cblk], eb, max_iters))
-        a_perm = flat_a[order]
+        def run_slice(lo, hi):
+            # geometry gather + relayout for exactly this permuted slice —
+            # the tail slice lives INSIDE the overflow cond so the common
+            # case never pays the full-batch (2 x 50 MB at 64k x 64-vert)
+            # gather, only the B/8 prefix.
+            nblk = (hi - lo) // eb
+            g1s = to_kernel_layout(f1[order[lo:hi]], n1, nblk, eb)
+            g2s = to_kernel_layout(f2[order[lo:hi]], n2, nblk, eb)
+            return rows_of(run_pass(g1s, g2s, eb, max_iters,
+                                    dn[lo // eb:hi // eb]))
+
+        flat_pref = run_slice(0, C)
         tail = lax.cond(
             n_unf > C,
-            lambda _: rows_of(run_pass(g1[cblk:], g2[cblk:], eb, max_iters)),
+            lambda _: run_slice(C, b),
             lambda _: a_perm[C:],
             None)
         final = jnp.concatenate([flat_pref, tail], axis=0)[dest]
+        final = jnp.where(unfinished[:, None], final, flat_a)
 
         def row(i):
             return final[:, i][:b_user]
